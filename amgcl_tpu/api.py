@@ -1,0 +1,170 @@
+"""User-facing composition layer.
+
+The analogue of make_solver<Precond, Solver> (reference:
+amgcl/make_solver.hpp:45-231): bundle a preconditioner with a Krylov
+solver behind one callable.  The complete solve — Krylov loop, multigrid
+cycles, coarse direct solve — is one jitted XLA executable; the hierarchy
+is passed as a pytree argument so re-solves with a rebuilt hierarchy reuse
+the compiled program.
+
+Mixed precision is first-class: `solver_dtype` (default float64) is the
+Krylov precision; `precond_dtype` (default float32) is the hierarchy
+precision — the coupling of the reference's mixed_precision example.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from .ops.formats import SparseMatrix
+from .ops.spmv import spmv
+from .precond.amg import AMG, AMGParams, amg_apply
+from .precond.as_preconditioner import AsPreconditioner, make_relax_precond
+from .precond.dummy import DummyPrecond
+from .solver import make_solver_fn
+from . import relaxation as rlx
+from .coarsening.smoothed_aggregation import SmoothedAggregation
+
+
+class Solver:
+    """make_solver: P = AMG (or any precond object), S = a Krylov solver.
+
+    call as solver(rhs) or solver(rhs, x0) -> (x, SolveInfo).
+    """
+
+    def __init__(
+        self,
+        A,
+        solver: str = "cg",
+        precond: str | object = "amg",
+        *,
+        block: int = 1,
+        solver_dtype=jnp.float64,
+        precond_dtype=jnp.float32,
+        coarsening=None,
+        relaxation=None,
+        amg_params: AMGParams | None = None,
+        **solver_params,
+    ):
+        A = sp.csr_matrix(A)
+        A.sort_indices()
+        self.A_host = A
+        self.block = block
+        self.solver_params = solver_params
+        self.solver_name = solver
+        self._solver_fn = make_solver_fn(solver)
+
+        # Outer operator in solver precision (true residuals at 1e-8 need
+        # f64; the hierarchy below stays in f32).
+        self.A_dev = SparseMatrix.from_scipy(A, block=block, dtype=solver_dtype)
+
+        if isinstance(precond, str):
+            if precond == "amg":
+                self.precond = AMG(
+                    A,
+                    coarsening=coarsening,
+                    relaxation=relaxation,
+                    params=amg_params,
+                    block=block,
+                    dtype=precond_dtype,
+                )
+            elif precond == "relaxation":
+                self.precond = AsPreconditioner(
+                    A,
+                    relaxation=relaxation,
+                    block=block,
+                    dtype=precond_dtype,
+                )
+            elif precond == "dummy":
+                self.precond = DummyPrecond(A, block=block, dtype=precond_dtype)
+            else:
+                raise ValueError(f"unknown preconditioner class {precond!r}")
+        else:
+            self.precond = precond
+
+        self._compiled = self._make_jitted()
+
+    # ------------------------------------------------------------------
+    def _make_jitted(self):
+        solver_fn = self._solver_fn
+        params = dict(self.solver_params)
+
+        if isinstance(self.precond, AMG):
+            prm = self.precond.prm
+
+            @partial(jax.jit, static_argnames=())
+            def run(A_dev, levels, rhs, x0):
+                P = lambda r: amg_apply(levels, r, prm)
+                return solver_fn(A_dev, P, rhs, x0, **params)
+
+            return lambda rhs, x0: run(
+                self.A_dev, self.precond.levels, rhs, x0
+            )
+
+        if isinstance(self.precond, AsPreconditioner):
+
+            @jax.jit
+            def run(A_dev, state, P_A, rhs, x0):
+                P = make_relax_precond(state, P_A)
+                return solver_fn(A_dev, P, rhs, x0, **params)
+
+            return lambda rhs, x0: run(
+                self.A_dev, self.precond.state, self.precond.A_dev, rhs, x0
+            )
+
+        if isinstance(self.precond, DummyPrecond):
+
+            @jax.jit
+            def run(A_dev, rhs, x0):
+                return solver_fn(A_dev, None, rhs, x0, **params)
+
+            return lambda rhs, x0: run(self.A_dev, rhs, x0)
+
+        # Generic object with .apply — cannot pass state as pytree; jit with
+        # the precondition closed over (compiled once per Solver).
+        P = self.precond
+
+        @jax.jit
+        def run(A_dev, rhs, x0):
+            return solver_fn(A_dev, P.apply, rhs, x0, **params)
+
+        return lambda rhs, x0: run(self.A_dev, rhs, x0)
+
+    # ------------------------------------------------------------------
+    def __call__(self, rhs, x0=None):
+        dt = self.A_dev.dtype
+        rhs = jnp.asarray(rhs, dtype=dt)
+        x0 = jnp.zeros_like(rhs) if x0 is None else jnp.asarray(x0, dtype=dt)
+        return self._compiled(rhs, x0)
+
+    def rebuild(self, A_new):
+        """Re-solve with new coefficients on the same sparsity: rebuild the
+        hierarchy reusing P/R (reference: make_solver::operator()(A,rhs,x),
+        amgcl/make_solver.hpp:116-135)."""
+        A = sp.csr_matrix(A_new)
+        self.A_dev = SparseMatrix.from_scipy(
+            A, block=self.block, dtype=self.A_dev.dtype
+        )
+        if isinstance(self.precond, AMG):
+            self.precond.rebuild(A)
+        else:
+            raise NotImplementedError(
+                "rebuild is supported for the AMG preconditioner"
+            )
+        return self
+
+    def __repr__(self):
+        inner = repr(self.precond) if isinstance(self.precond, AMG) else type(
+            self.precond
+        ).__name__
+        return f"Solver({self.solver_name})\n{inner}"
+
+
+def make_solver(A, solver="cg", precond="amg", **kw) -> Solver:
+    return Solver(A, solver=solver, precond=precond, **kw)

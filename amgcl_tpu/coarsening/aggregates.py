@@ -1,0 +1,161 @@
+"""Aggregation (setup phase, host-side).
+
+Re-implementation of the reference's aggregation semantics
+(amgcl/coarsening/plain_aggregates.hpp:63-208 and
+amgcl/coarsening/pointwise_aggregates.hpp:51) in numpy over scipy CSR:
+
+* strength of connection: i,j strongly coupled iff
+  ``a_ij^2 > eps^2 * a_ii * a_jj`` (symmetric, diagonal excluded);
+* lonely nodes (no strong couplings) stay on the fine level (id = REMOVED);
+* greedy single-pass aggregation with neighbour-of-neighbour capture;
+* vanished aggregates renumbered away;
+* block systems: compress to a pointwise (block-norm) matrix, aggregate
+  that, then expand ids so each aggregate contributes `block` coarse dofs.
+
+The greedy sweep is sequential by construction; a C++ kernel (see
+amgcl_tpu/native) is used when available, with a pure-Python fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+UNDEFINED = -1
+REMOVED = -2
+
+
+@dataclasses.dataclass
+class Aggregates:
+    count: int                    # number of coarse dofs
+    id: np.ndarray                # (n,) aggregate id per fine dof, or <0
+    strong: np.ndarray            # (nnz,) bool per entry of A (CSR order)
+
+
+def strong_connections(A: sp.csr_matrix, eps_strong: float) -> np.ndarray:
+    """Per-nonzero strength mask, reference semantics
+    (amgcl/coarsening/plain_aggregates.hpp:125-139: signed diagonal product)."""
+    n = A.shape[0]
+    dia = A.diagonal()
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    eps2 = eps_strong * eps_strong
+    v = A.data
+    return (A.indices != rows) & (eps2 * dia[rows] * dia[A.indices] < v * v)
+
+
+def _greedy_sweep_py(indptr, indices, strong, ids):
+    """The sequential greedy pass (pure-Python fallback)."""
+    n = len(indptr) - 1
+    count = 0
+    for i in range(n):
+        if ids[i] != UNDEFINED:
+            continue
+        cur = count
+        count += 1
+        ids[i] = cur
+        beg, end = indptr[i], indptr[i + 1]
+        neib = []
+        for j in range(beg, end):
+            c = indices[j]
+            if strong[j] and ids[c] != REMOVED:
+                ids[c] = cur
+                neib.append(c)
+        for c in neib:
+            for j in range(indptr[c], indptr[c + 1]):
+                cc = indices[j]
+                if strong[j] and ids[cc] == UNDEFINED:
+                    ids[cc] = cur
+    return count
+
+
+def _greedy_sweep(indptr, indices, strong, ids):
+    try:
+        from ..native import lib as _native
+    except Exception:
+        _native = None
+    if _native is not None:
+        return _native.greedy_aggregate(indptr, indices, strong, ids)
+    return _greedy_sweep_py(indptr, indices, strong, ids)
+
+
+def plain_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08) -> Aggregates:
+    n = A.shape[0]
+    strong = strong_connections(A, eps_strong)
+
+    # Lonely nodes are removed (stay at the fine level).
+    row_has_strong = (
+        np.add.reduceat(strong, A.indptr[:-1], dtype=np.int64) > 0
+        if A.nnz
+        else np.zeros(n, dtype=bool)
+    )
+    row_has_strong = row_has_strong & (np.diff(A.indptr) > 0)
+    ids = np.where(row_has_strong, UNDEFINED, REMOVED).astype(np.int64)
+
+    count = _greedy_sweep(A.indptr, A.indices, strong, ids)
+    if count == 0:
+        raise RuntimeError("empty level: no aggregates could be formed")
+
+    # Renumber: some aggregates may have vanished during capture.
+    used = np.zeros(count, dtype=np.int64)
+    valid = ids >= 0
+    used[ids[valid]] = 1
+    remap = np.cumsum(used) - 1
+    ids[valid] = remap[ids[valid]]
+    count = int(used.sum())
+    return Aggregates(count=count, id=ids, strong=strong)
+
+
+def pointwise_matrix(A: sp.csr_matrix, block: int) -> sp.csr_matrix:
+    """Compress a scalar matrix to its pointwise (per-block) norm matrix
+    (reference: amgcl/backend/builtin.hpp:505 — value is the sum of entry
+    norms over each block)."""
+    n, m = A.shape
+    nb, mb = n // block, m // block
+    Aa = sp.csr_matrix(
+        (np.abs(A.data), A.indices, A.indptr), shape=A.shape
+    )
+    # Block-sum both dimensions with boolean aggregation operators.
+    Rb = sp.csr_matrix(
+        (np.ones(n), (np.arange(n) // block, np.arange(n))), shape=(nb, n)
+    )
+    Cb = sp.csr_matrix(
+        (np.ones(m), (np.arange(m), np.arange(m) // block)), shape=(m, mb)
+    )
+    Ap = (Rb @ Aa @ Cb).tocsr()
+    Ap.sum_duplicates()
+    return Ap
+
+
+def pointwise_aggregates(
+    A: sp.csr_matrix, eps_strong: float = 0.08, block: int = 1
+) -> Aggregates:
+    """Block-aware aggregation (reference:
+    amgcl/coarsening/pointwise_aggregates.hpp:51): aggregate the pointwise
+    matrix, then expand so each aggregate yields `block` coarse dofs laid
+    out contiguously."""
+    if block == 1:
+        return plain_aggregates(A, eps_strong)
+    Ap = pointwise_matrix(A, block)
+    pw = plain_aggregates(Ap, eps_strong)
+    n = A.shape[0]
+    ids = np.empty(n, dtype=np.int64)
+    k = np.arange(n) % block
+    pw_id = pw.id[np.arange(n) // block]
+    ids = np.where(pw_id >= 0, block * pw_id + k, pw_id)
+    # Expand the strength mask to the scalar sparsity: an entry is strong iff
+    # its containing block is strong or diagonal, excluding the scalar
+    # diagonal itself (pointwise_aggregates.hpp:90-117).
+    Sb = sp.csr_matrix(
+        (pw.strong | (Ap.indices == np.repeat(np.arange(Ap.shape[0]),
+                                              np.diff(Ap.indptr))),
+         Ap.indices, Ap.indptr),
+        shape=Ap.shape,
+    )
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    blk_strong = np.asarray(
+        Sb[rows // block, A.indices // block]
+    ).ravel().astype(bool)
+    strong = blk_strong & (A.indices != rows)
+    return Aggregates(count=pw.count * block, id=ids, strong=strong)

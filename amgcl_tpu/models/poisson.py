@@ -1,0 +1,99 @@
+"""Synthetic model problems.
+
+The testing backbone of the reference is a single in-process generated 3D
+Poisson problem (reference: tests/sample_problem.hpp:10-84 — 7-point stencil
+on an n³ grid, usable with scalar / complex / block value types).  These
+generators play the same role for this framework's tests, benchmarks and
+tutorials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def poisson3d(n: int, dtype=np.float64) -> tuple[sp.csr_matrix, np.ndarray]:
+    """7-point 3D Poisson on an n×n×n grid; returns (A, rhs).
+
+    Matches the structure of the reference sample problem: diagonal 6 (here
+    scaled like the standard finite-difference stencil), off-diagonals -1,
+    rhs = 1.
+    """
+    N = n * n * n
+    idx = np.arange(N)
+    i = idx // (n * n)
+    j = (idx // n) % n
+    k = idx % n
+
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(N, 6.0, dtype=dtype)]
+
+    for axis, coord, stride in ((0, i, n * n), (1, j, n), (2, k, 1)):
+        for d in (-1, 1):
+            m = (coord + d >= 0) & (coord + d < n)
+            rows.append(idx[m])
+            cols.append(idx[m] + d * stride)
+            vals.append(np.full(m.sum(), -1.0, dtype=dtype))
+
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N),
+    ).tocsr()
+    rhs = np.ones(N, dtype=dtype)
+    return A, rhs
+
+
+def poisson2d(n: int, dtype=np.float64) -> tuple[sp.csr_matrix, np.ndarray]:
+    """5-point 2D Poisson on an n×n grid."""
+    N = n * n
+    idx = np.arange(N)
+    i, j = idx // n, idx % n
+    rows, cols, vals = [idx], [idx], [np.full(N, 4.0, dtype=dtype)]
+    for coord, stride in ((i, n), (j, 1)):
+        for d in (-1, 1):
+            m = (coord + d >= 0) & (coord + d < n)
+            rows.append(idx[m])
+            cols.append(idx[m] + d * stride)
+            vals.append(np.full(m.sum(), -1.0, dtype=dtype))
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N),
+    ).tocsr()
+    return A, np.ones(N, dtype=dtype)
+
+
+def poisson3d_block(n: int, block: int = 2, dtype=np.float64):
+    """Block-valued Poisson: kron(A, I_b) — the block analogue the reference
+    sample problem produces via math::identity for static_matrix value types
+    (tests/sample_problem.hpp)."""
+    A, rhs = poisson3d(n, dtype)
+    Ab = sp.kron(A, sp.eye(block), format="csr")
+    return Ab, np.tile(rhs, block)[: A.shape[0] * block].reshape(-1)
+
+
+def convection_diffusion2d(n: int, eps: float = 1e-2, dtype=np.float64):
+    """Nonsymmetric convection–diffusion problem (exercises BiCGStab/GMRES
+    paths the way the reference's nonsymmetric tests do)."""
+    N = n * n
+    h = 1.0 / (n + 1)
+    idx = np.arange(N)
+    i, j = idx // n, idx % n
+    rows, cols, vals = [idx], [idx], [np.full(N, 4.0 * eps / h**2 + 1.0 / h, dtype=dtype)]
+    stencil = {
+        (-1, 0): -eps / h**2 - 1.0 / h,
+        (1, 0): -eps / h**2,
+        (0, -1): -eps / h**2,
+        (0, 1): -eps / h**2,
+    }
+    for (di, dj), v in stencil.items():
+        m = (i + di >= 0) & (i + di < n) & (j + dj >= 0) & (j + dj < n)
+        rows.append(idx[m])
+        cols.append(idx[m] + di * n + dj)
+        vals.append(np.full(m.sum(), v, dtype=dtype))
+    A = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N),
+    ).tocsr()
+    return A, np.ones(N, dtype=dtype)

@@ -1,0 +1,180 @@
+"""Sparse matrix storage for TPU.
+
+The device-resident format is a *planar block-ELLPACK* layout designed around
+TPU tiling rules (arrays tile as (8,128) sublane×lane; the contiguous
+dimension should be long):
+
+  data : (K, b, b, nb) — K = max block-nonzeros per block-row, b = block size,
+                          nb = number of block rows.  data[k, :, :, i] is the
+                          k-th b×b block of block-row i.
+  cols : (K, nb) int32 — block-column index of the k-th block of block-row i.
+
+Padding entries carry ``cols == 0`` and ``data == 0`` so that gathered values
+multiply to exact zeros — no masks are needed on the SpMV path.  The long
+`nb` axis sits last, so every elementwise op and gather runs full-lane on the
+VPU; there is no ragged CSR indirection anywhere on the solve path.
+
+This one container plays the role of the reference's CSR ``crs`` struct
+(reference: amgcl/backend/builtin.hpp:61) *and* its block-value
+``static_matrix`` storage (reference: amgcl/value_type/static_matrix.hpp:43):
+block size is a static field, b == 1 being the scalar case.
+
+Host-side setup (coarsening, Galerkin products, smoother factorizations)
+works on scipy CSR/BSR and converts once per level, mirroring the
+setup/solve split of the reference (amgcl/amg.hpp:351-365) while keeping the
+whole *solve* phase on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "cols"],
+    meta_fields=["shape", "block", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class SparseMatrix:
+    """Planar block-ELLPACK sparse matrix (a jax pytree).
+
+    shape is the *scalar* (rows, cols) shape; block is the static block size
+    b; nnz is the true scalar nonzero count (for reporting / complexity
+    stats, reference: amgcl/amg.hpp:560-598).
+    """
+
+    data: jax.Array  # (K, b, b, nb)
+    cols: jax.Array  # (K, nb) int32
+    shape: tuple    # (n_rows, n_cols) in scalar terms
+    block: int
+    nnz: int
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def block_rows(self) -> int:
+        return self.data.shape[-1]
+
+    @property
+    def block_cols(self) -> int:
+        return self.shape[1] // self.block
+
+    @property
+    def width(self) -> int:
+        """Max nonzero blocks per block row (the ELL width K)."""
+        return self.data.shape[0]
+
+    @property
+    def nbytes(self) -> int:
+        """Device bytes, the analogue of backend::bytes (reference:
+        amgcl/backend/interface.hpp:191)."""
+        return self.data.size * self.data.dtype.itemsize + self.cols.size * 4
+
+    def astype(self, dtype) -> "SparseMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+    # ------------------------------------------------------------------
+    # Host conversions
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def from_scipy(A, block: int = 1, dtype=jnp.float32) -> "SparseMatrix":
+        """Build from any scipy sparse matrix.
+
+        ``block > 1`` reinterprets the scalar matrix as block-valued (the
+        capability of the reference's adapter::block_matrix,
+        amgcl/adapter/block_matrix.hpp:44).
+        """
+        n_rows, n_cols = A.shape
+        if block == 1:
+            A = sp.csr_matrix(A)
+            if not A.has_canonical_format:
+                A = A.copy()   # sum_duplicates mutates in place
+                A.sum_duplicates()
+            data, cols, indptr = A.data, A.indices, A.indptr
+            nnz = A.nnz
+            # (nb, K) ragged→padded, then transpose to planar (K, nb).
+            counts = np.diff(indptr)
+            K = max(int(counts.max()) if len(counts) else 1, 1)
+            ell_data = np.zeros((n_rows, K), dtype=np.float64)
+            ell_cols = np.zeros((n_rows, K), dtype=np.int32)
+            # vectorized ragged scatter
+            rows = np.repeat(np.arange(n_rows), counts)
+            offs = np.arange(nnz) - np.repeat(indptr[:-1], counts)
+            ell_data[rows, offs] = data
+            ell_cols[rows, offs] = cols
+            return SparseMatrix(
+                data=jnp.asarray(ell_data.T[:, None, None, :], dtype=dtype),
+                cols=jnp.asarray(ell_cols.T),
+                shape=(n_rows, n_cols),
+                block=1,
+                nnz=int(nnz),
+            )
+
+        if n_rows % block or n_cols % block:
+            raise ValueError(
+                f"matrix shape {A.shape} not divisible by block size {block}"
+            )
+        B = sp.bsr_matrix(sp.csr_matrix(A), blocksize=(block, block))
+        B.sum_duplicates()
+        nbr = n_rows // block
+        counts = np.diff(B.indptr)
+        K = max(int(counts.max()) if len(counts) else 1, 1)
+        nblk = B.indices.shape[0]
+        ell_data = np.zeros((nbr, K, block, block), dtype=np.float64)
+        ell_cols = np.zeros((nbr, K), dtype=np.int32)
+        rows = np.repeat(np.arange(nbr), counts)
+        offs = np.arange(nblk) - np.repeat(B.indptr[:-1], counts)
+        ell_data[rows, offs] = B.data
+        ell_cols[rows, offs] = B.indices
+        return SparseMatrix(
+            data=jnp.asarray(np.transpose(ell_data, (1, 2, 3, 0)), dtype=dtype),
+            cols=jnp.asarray(ell_cols.T),
+            shape=(n_rows, n_cols),
+            block=block,
+            nnz=int(A.nnz if sp.issparse(A) else np.count_nonzero(B.data)),
+        )
+
+    def to_scipy(self) -> sp.csr_matrix:
+        """Round-trip back to scipy CSR (host)."""
+        K, b, _, nb = self.data.shape
+        data = np.asarray(self.data)
+        cols = np.asarray(self.cols)
+        if b == 1:
+            vals = data[:, 0, 0, :].T.ravel()  # (nb, K)
+            cidx = cols.T.ravel()
+            ridx = np.repeat(np.arange(nb), K)
+            M = sp.coo_matrix((vals, (ridx, cidx)), shape=self.shape).tocsr()
+        else:
+            blocks = np.transpose(data, (3, 0, 1, 2)).reshape(-1, b, b)
+            indices = cols.T.ravel()
+            indptr = np.arange(nb + 1) * K
+            M = sp.bsr_matrix((blocks, indices, indptr), shape=self.shape).tocsr()
+        # padding entries were exact zeros: drop them
+        M.eliminate_zeros()
+        M.sum_duplicates()
+        return M
+
+
+def diagonal(A: SparseMatrix) -> jax.Array:
+    """Extract the (block-)diagonal as a dense array.
+
+    Returns shape (nb, b, b) for block matrices, or (n,) for scalar.
+    Analogue of backend::diagonal (reference: amgcl/backend/builtin.hpp:753).
+    """
+    K, b, _, nb = A.data.shape
+    rows = jnp.arange(nb)
+    is_dia = (A.cols == rows[None, :])  # (K, nb)
+    dia = jnp.einsum("kn,kabn->nab", is_dia.astype(A.data.dtype), A.data)
+    if b == 1:
+        return dia[:, 0, 0]
+    return dia

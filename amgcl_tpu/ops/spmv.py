@@ -1,0 +1,64 @@
+"""Sparse matrix–vector products on the planar block-ELL format.
+
+These are the TPU equivalents of the reference backend primitives
+backend::spmv / backend::residual (reference: amgcl/backend/interface.hpp:
+191-420 and amgcl/backend/detail/matrix_ops.hpp).  Everything here is
+jit-friendly: static shapes, one gather + fused elementwise reduction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .formats import SparseMatrix
+
+
+def spmv(A: SparseMatrix, x: jax.Array) -> jax.Array:
+    """y = A @ x.
+
+    x has scalar length A.shape[1]; result has scalar length A.shape[0].
+    Accepts x of any float dtype; computes in A.dtype (cast at the
+    boundary), which implements the mixed-precision coupling of the
+    reference's backends_compatible machinery
+    (amgcl/backend/interface.hpp:434-443).
+    """
+    K, b, _, nb = A.data.shape
+    out_dtype = x.dtype
+    xc = x.astype(A.data.dtype)
+    if b == 1:
+        xg = xc[A.cols]                      # (K, nb) gather
+        y = jnp.sum(A.data[:, 0, 0, :] * xg, axis=0)
+        return y.astype(out_dtype)
+    xb = xc.reshape(-1, b)                   # (nbc, b)
+    xg = xb[A.cols]                          # (K, nb, b)
+    y = jnp.einsum("kabn,knb->na", A.data, xg)
+    return y.reshape(-1).astype(out_dtype)
+
+
+def spmv_t(A: SparseMatrix, x: jax.Array) -> jax.Array:
+    """y = A.T @ x via scatter-add (no transposed copy needed).
+
+    Used where the reference stores an explicit R = P^T; we keep explicit
+    transposes for hierarchy operators (built at setup) but expose this for
+    matrix-free uses.
+    """
+    K, b, _, nb = A.data.shape
+    nbc = A.shape[1] // b
+    xc = x.astype(A.data.dtype)
+    if b == 1:
+        contrib = A.data[:, 0, 0, :] * xc[None, :]   # (K, nb)
+        y = jnp.zeros(nbc, dtype=A.data.dtype)
+        y = y.at[A.cols.ravel()].add(contrib.ravel())
+        return y.astype(x.dtype)
+    xb = xc.reshape(nb, b)
+    contrib = jnp.einsum("kabn,na->knb", A.data, xb)  # (K, nb, b)
+    y = jnp.zeros((nbc, b), dtype=A.data.dtype)
+    y = y.at[A.cols.reshape(-1)].add(contrib.reshape(-1, b))
+    return y.reshape(-1).astype(x.dtype)
+
+
+def residual(rhs: jax.Array, A: SparseMatrix, x: jax.Array) -> jax.Array:
+    """r = rhs - A x  (reference: backend::residual,
+    amgcl/backend/interface.hpp:320)."""
+    return rhs - spmv(A, x)

@@ -1,0 +1,63 @@
+"""BiCGStab with right preconditioning.
+
+Capability parity with the reference (amgcl/solver/bicgstab.hpp:53, with
+precond_side — we implement the right-preconditioned form, the reference's
+default for nonsymmetric AMG use)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import SolveInfo, as_operator, as_precond, norm_of, stopping
+from ..ops import blas1
+
+
+def bicgstab(
+    A,
+    P=None,
+    rhs=None,
+    x0=None,
+    *,
+    tol=1e-8,
+    abstol=1e-30,
+    maxiter=100,
+    inner_product=blas1.inner_product,
+):
+    Aop = as_operator(A)
+    Pop = as_precond(P)
+    norm = norm_of(inner_product)
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+
+    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    r = rhs - Aop(x)
+    rhat = r
+    res = norm(r)
+    one = jnp.asarray(1.0, rhs.dtype)
+    zero = jnp.zeros_like(rhs)
+
+    # state: x, r, p, v, rho_prev, alpha, omega, it, res
+    def cond(st):
+        return (st[-2] < maxiter) & (st[-1] > eps)
+
+    def body(st):
+        x, r, p, v, rho_prev, alpha, omega, it, res = st
+        rho = inner_product(rhat, r)
+        beta = jnp.where(
+            it == 0, jnp.zeros_like(rho), (rho / rho_prev) * (alpha / omega)
+        )
+        p = r + beta * (p - omega * v)
+        phat = Pop(p)
+        v = Aop(phat)
+        alpha = rho / inner_product(rhat, v)
+        s = r - alpha * v
+        shat = Pop(s)
+        t = Aop(shat)
+        omega = inner_product(t, s) / inner_product(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return x, r, p, v, rho, alpha, omega, it + 1, norm(r)
+
+    st = (x, r, zero, zero, one, one, one, jnp.asarray(0, jnp.int32), res)
+    x, r, *_, it, res = jax.lax.while_loop(cond, body, st)
+    return x, SolveInfo(it, res / norm_rhs)

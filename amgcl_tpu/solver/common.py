@@ -1,0 +1,61 @@
+"""Shared Krylov infrastructure.
+
+Mirrors the conventions of the reference iterative solver layer
+(amgcl/solver/*.hpp): every solver takes (A, P, rhs, x0) plus params
+{tol, abstol, maxiter}, and returns (x, iters, relative_residual) — the
+reference's ``std::tuple<size_t, scalar> operator()``
+(amgcl/solver/cg.hpp:152-218).  The inner product is injectable, which is
+the single hook that turns a serial solver into a distributed one
+(reference: amgcl/mpi/solver/cg.hpp:41-46).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.formats import SparseMatrix
+from ..ops.spmv import spmv
+from ..ops import blas1
+
+
+class SolveInfo(NamedTuple):
+    iters: jax.Array
+    error: jax.Array  # relative residual at exit
+
+
+def as_operator(A) -> Callable:
+    """Accept a SparseMatrix or a linear-operator callable."""
+    if isinstance(A, SparseMatrix):
+        return lambda v: spmv(A, v)
+    if callable(A):
+        return A
+    raise TypeError(f"cannot interpret {type(A)} as a linear operator")
+
+
+def as_precond(P) -> Callable:
+    """Accept None (identity), a callable, or an object with .apply()."""
+    if P is None:
+        return lambda r: r
+    if hasattr(P, "apply"):
+        return P.apply
+    if callable(P):
+        return P
+    raise TypeError(f"cannot interpret {type(P)} as a preconditioner")
+
+
+def norm_of(inner):
+    def _norm(x):
+        return jnp.sqrt(jnp.abs(inner(x, x)))
+    return _norm
+
+
+def stopping(rhs, tol, abstol, inner):
+    """eps and normalization: eps = max(tol*|rhs|, abstol)
+    (reference: amgcl/solver/cg.hpp:161-171)."""
+    norm_rhs = norm_of(inner)(rhs)
+    safe = jnp.where(norm_rhs > 0, norm_rhs, jnp.ones_like(norm_rhs))
+    eps = jnp.maximum(tol * safe, jnp.asarray(abstol, rhs.dtype))
+    return safe, eps
