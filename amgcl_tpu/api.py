@@ -62,7 +62,8 @@ class Solver:
 
         # Outer operator in solver precision (true residuals at 1e-8 need
         # f64; the hierarchy below stays in f32).
-        self.A_dev = SparseMatrix.from_scipy(A, block=block, dtype=solver_dtype)
+        from .ops.formats import from_scipy_auto
+        self.A_dev = from_scipy_auto(A, block=block, dtype=solver_dtype)
 
         if isinstance(precond, str):
             if precond == "amg":
@@ -140,6 +141,10 @@ class Solver:
     def __call__(self, rhs, x0=None):
         dt = self.A_dev.dtype
         rhs = jnp.asarray(rhs, dtype=dt)
+        if rhs.shape != (self.A_dev.shape[0],):
+            raise ValueError(
+                f"rhs has shape {rhs.shape}, expected ({self.A_dev.shape[0]},)"
+            )
         x0 = jnp.zeros_like(rhs) if x0 is None else jnp.asarray(x0, dtype=dt)
         return self._compiled(rhs, x0)
 
@@ -147,8 +152,9 @@ class Solver:
         """Re-solve with new coefficients on the same sparsity: rebuild the
         hierarchy reusing P/R (reference: make_solver::operator()(A,rhs,x),
         amgcl/make_solver.hpp:116-135)."""
+        from .ops.formats import from_scipy_auto
         A = sp.csr_matrix(A_new)
-        self.A_dev = SparseMatrix.from_scipy(
+        self.A_dev = from_scipy_auto(
             A, block=self.block, dtype=self.A_dev.dtype
         )
         if isinstance(self.precond, AMG):

@@ -8,9 +8,15 @@ from .aggregates import (
 )
 from .tentative import tentative_prolongation
 from .smoothed_aggregation import SmoothedAggregation, galerkin, spectral_radius
+from .aggregation import Aggregation
+from .ruge_stuben import RugeStuben
+from .grid_aggregation import GridAggregation, GridTransfer
 
 COARSENING = {
     "smoothed_aggregation": SmoothedAggregation,
+    "aggregation": Aggregation,
+    "ruge_stuben": RugeStuben,
+    "grid_aggregation": GridAggregation,
 }
 
 

@@ -165,12 +165,120 @@ class SparseMatrix:
         return M
 
 
-def diagonal(A: SparseMatrix) -> jax.Array:
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "shape", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class DiaMatrix:
+    """Diagonal (DIA) storage: y[i] = sum_d data[d, i] * x[i + offsets[d]].
+
+    The TPU speed-of-light sparse format: SpMV is D shift-multiply-adds —
+    full-lane VPU work with *zero gathers*.  Chosen automatically whenever
+    the matrix's distinct (col - row) offset set is compact, which holds
+    for structured-grid operators at every AMG level when grid-aligned
+    aggregation is used (see coarsening/grid_aggregation.py).
+
+    Entries of diagonal d exist only for rows where 0 <= i+offsets[d] < n;
+    out-of-range slots hold zeros.  offsets are static Python ints so the
+    shifts compile to static slices.
+    """
+
+    data: jax.Array       # (D, n)
+    offsets: tuple        # (D,) static ints, sorted
+    shape: tuple
+    nnz: int
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def block(self) -> int:
+        return 1
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def nbytes(self) -> int:
+        return self.data.size * self.data.dtype.itemsize
+
+    def astype(self, dtype) -> "DiaMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+    @staticmethod
+    def from_scipy(A, dtype=jnp.float32) -> "DiaMatrix":
+        A = sp.csr_matrix(A)
+        n, m = A.shape
+        rows = np.repeat(np.arange(n), np.diff(A.indptr))
+        offs = A.indices.astype(np.int64) - rows
+        uniq = np.unique(offs)
+        dmap = {int(d): k for k, d in enumerate(uniq)}
+        data = np.zeros((len(uniq), n), dtype=np.float64)
+        didx = np.searchsorted(uniq, offs)
+        data[didx, rows] = A.data
+        return DiaMatrix(
+            data=jnp.asarray(data, dtype=dtype),
+            offsets=tuple(int(d) for d in uniq),
+            shape=(n, m),
+            nnz=int(A.nnz),
+        )
+
+    def to_scipy(self) -> sp.csr_matrix:
+        n, m = self.shape
+        data = np.asarray(self.data)
+        rows, cols, vals = [], [], []
+        for k, d in enumerate(self.offsets):
+            i = np.arange(max(0, -d), min(n, m - d))
+            rows.append(i)
+            cols.append(i + d)
+            vals.append(data[k, i])
+        M = sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+            shape=self.shape,
+        ).tocsr()
+        M.eliminate_zeros()
+        return M
+
+
+def dia_viable(A, max_diags: int | None = None) -> bool:
+    """Heuristic: DIA wins whenever the distinct-offset count is within a
+    small factor of the max row width (gathers are catastrophically slower
+    than the extra zero-padded lanes)."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if n == 0 or A.nnz == 0:
+        return False
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    offs = A.indices.astype(np.int64) - rows
+    ndiag = len(np.unique(offs))
+    K = int(np.diff(A.indptr).max())
+    if max_diags is None:
+        max_diags = max(48, 3 * K)
+    return ndiag <= max_diags
+
+
+def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None):
+    """Pick the fastest device format for this matrix (DIA when compact,
+    block-ELL otherwise)."""
+    if block == 1 and dia_viable(A, max_diags):
+        return DiaMatrix.from_scipy(A, dtype=dtype)
+    return SparseMatrix.from_scipy(A, block=block, dtype=dtype)
+
+
+def diagonal(A) -> jax.Array:
     """Extract the (block-)diagonal as a dense array.
 
     Returns shape (nb, b, b) for block matrices, or (n,) for scalar.
     Analogue of backend::diagonal (reference: amgcl/backend/builtin.hpp:753).
     """
+    if isinstance(A, DiaMatrix):
+        if 0 in A.offsets:
+            return A.data[A.offsets.index(0)]
+        return jnp.zeros(A.shape[0], dtype=A.dtype)
     K, b, _, nb = A.data.shape
     rows = jnp.arange(nb)
     is_dia = (A.cols == rows[None, :])  # (K, nb)

@@ -32,10 +32,23 @@ import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
-from ..ops.formats import SparseMatrix
+from ..ops.formats import SparseMatrix, from_scipy_auto
 from ..ops.spmv import spmv
 from .. import relaxation as rlx
 from ..coarsening.smoothed_aggregation import SmoothedAggregation
+from ..coarsening.grid_aggregation import GridTransfer
+
+
+def _prolong(P, x):
+    if isinstance(P, GridTransfer):
+        return P.prolong(x)
+    return spmv(P, x)
+
+
+def _restrict(R, x):
+    if isinstance(R, GridTransfer):
+        return R.restrict(x)
+    return spmv(R, x)
 
 
 @partial(
@@ -102,7 +115,7 @@ class AMG:
             n = A.shape[0]
             if n <= coarse_enough:
                 break
-            A_dev = SparseMatrix.from_scipy(A, block=self.block, dtype=self.dtype)
+            A_dev = from_scipy_auto(A, block=self.block, dtype=self.dtype)
             relax_state = self.relaxation.setup(A, A_dev)
             P, R = self.coarsening.transfer_operators(A)
             if P.shape[1] == 0:
@@ -114,8 +127,11 @@ class AMG:
                 self._host_ops.append((A, None, None))
                 return tuple(levels)
             Ac = self.coarsening.coarse_operator(A, P, R)
-            P_dev = SparseMatrix.from_scipy(P, block=self.block, dtype=self.dtype)
-            R_dev = SparseMatrix.from_scipy(R, block=self.block, dtype=self.dtype)
+            if hasattr(self.coarsening, "device_transfer"):
+                P_dev = R_dev = self.coarsening.device_transfer(self.dtype)
+            else:
+                P_dev = from_scipy_auto(P, block=self.block, dtype=self.dtype)
+                R_dev = from_scipy_auto(R, block=self.block, dtype=self.dtype)
             levels.append(
                 Level(A=A_dev, P=P_dev, R=R_dev, relax=relax_state,
                       coarse_inv=None)
@@ -124,7 +140,7 @@ class AMG:
             A = Ac
 
         # Coarsest level: dense inverse (factorized on host).
-        A_dev = SparseMatrix.from_scipy(A, block=self.block, dtype=self.dtype)
+        A_dev = from_scipy_auto(A, block=self.block, dtype=self.dtype)
         if self.prm.direct_coarse:
             Ad = np.asarray(A.todense())
             inv = np.linalg.inv(Ad)
@@ -165,7 +181,7 @@ class AMG:
         new_levels = []
         new_hosts = []
         for lvl, (A_old, P, R) in zip(self.levels, self._host_ops):
-            A_dev = SparseMatrix.from_scipy(A, block=self.block, dtype=self.dtype)
+            A_dev = from_scipy_auto(A, block=self.block, dtype=self.dtype)
             if P is None:
                 if lvl.coarse_inv is not None:
                     inv = np.linalg.inv(np.asarray(A.todense()))
@@ -224,9 +240,9 @@ def _cycle(levels, i, rhs, prm: AMGParams):
     for k in range(prm.ncycle):
         x = _relax_steps(lvl, rhs, x, prm.npre)
         t = rhs - spmv(lvl.A, x)
-        rc = spmv(lvl.R, t)
+        rc = _restrict(lvl.R, t)
         xc = _cycle(levels, i + 1, rc, prm)
-        x = x + spmv(lvl.P, xc)
+        x = x + _prolong(lvl.P, xc)
         x = _relax_steps(lvl, rhs, x, prm.npost, post=True)
     return x
 

@@ -104,9 +104,10 @@ class ILU0:
         dia = U.diagonal()
         U_strict = sp.triu(U, k=1, format="csr")
         inv = np.where(dia != 0, 1.0 / np.where(dia == 0, 1.0, dia), 1.0)
+        from ..ops.formats import from_scipy_auto
         return ILUState(
-            L=SparseMatrix.from_scipy(L, dtype=dt),
-            U=SparseMatrix.from_scipy(U_strict, dtype=dt),
+            L=from_scipy_auto(L, dtype=dt),
+            U=from_scipy_auto(U_strict, dtype=dt),
             inv_dia=jnp.asarray(inv, dtype=dt),
             damping=jnp.asarray(self.damping, dtype=dt),
             jacobi_iters=self.jacobi_iters,

@@ -69,8 +69,9 @@ class SPAI1:
             for t, i in enumerate(rows):
                 mvals[A.indptr[i] : A.indptr[i] + sz] = m[t]
 
+        from ..ops.formats import from_scipy_auto
         M = sp.csr_matrix((mvals, A.indices, A.indptr), shape=A.shape)
-        return SPAI1State(M=SparseMatrix.from_scipy(M, dtype=A_dev.dtype))
+        return SPAI1State(M=from_scipy_auto(M, dtype=A_dev.dtype))
 
 
 def spai1_apply(state: SPAI1State, A: SparseMatrix, rhs, x):

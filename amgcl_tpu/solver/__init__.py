@@ -3,14 +3,20 @@
 from .common import SolveInfo, as_operator, as_precond
 from .cg import cg
 from .bicgstab import bicgstab
+from .bicgstabl import bicgstabl
 from .gmres import gmres, fgmres
+from .lgmres import lgmres
+from .idrs import idrs
 from .richardson import richardson, preonly
 
 SOLVERS = {
     "cg": cg,
     "bicgstab": bicgstab,
+    "bicgstabl": bicgstabl,
     "gmres": gmres,
     "fgmres": fgmres,
+    "lgmres": lgmres,
+    "idrs": idrs,
     "richardson": richardson,
     "preonly": preonly,
 }

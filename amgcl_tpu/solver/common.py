@@ -16,7 +16,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.formats import SparseMatrix
+from ..ops.formats import SparseMatrix, DiaMatrix
 from ..ops.spmv import spmv
 from ..ops import blas1
 
@@ -27,8 +27,9 @@ class SolveInfo(NamedTuple):
 
 
 def as_operator(A) -> Callable:
-    """Accept a SparseMatrix or a linear-operator callable."""
-    if isinstance(A, SparseMatrix):
+    """Accept a sparse matrix (any device format) or a linear-operator
+    callable."""
+    if isinstance(A, (SparseMatrix, DiaMatrix)):
         return lambda v: spmv(A, v)
     if callable(A):
         return A
