@@ -1,0 +1,82 @@
+"""Headline benchmark: 3D Poisson 150^3 (3.375M dof, 23.5M nnz), CG + AMG
+(smoothed aggregation + SPAI0), solved to 1e-8 relative residual — the
+reference's published shared-memory benchmark problem
+(docs/benchmarks.rst:60-79; raw data docs/smem_data/poisson/).
+
+Baseline: the reference's CUDA backend (Tesla K80) solves it in 0.55 s
+after a 1.33 s setup at 24 iterations (docs/smem_data/poisson/
+amgcl-cuda.txt:1).  vs_baseline = baseline_solve / our_solve (>1 is
+faster than the reference).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from amgcl_tpu.models.poisson import poisson3d
+    from amgcl_tpu.coarsening.grid_aggregation import GridAggregation
+    from amgcl_tpu import make_solver
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+    BASELINE_SOLVE_S = 0.55  # amgcl CUDA/K80, same problem, 24 iters
+
+    A, rhs = poisson3d(n)
+
+    t0 = time.time()
+    S = make_solver(
+        A,
+        solver="cg",
+        tol=1e-8,
+        maxiter=100,
+        coarsening=GridAggregation(dims=(n, n, n)),
+    )
+    setup_s = time.time() - t0
+
+    rj = jnp.asarray(rhs)
+    x0 = jnp.zeros_like(rj)
+
+    # Warm-up: compile + first run (also forces a real sync via the scalar).
+    x, info = S._compiled(rj, x0)
+    iters = int(info.iters)
+
+    # Timed runs: scalar fetch forces completion (async dispatch otherwise
+    # lies about timing on the tunnelled TPU).
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        x, info = S._compiled(rj, x0)
+        _ = int(info.iters)
+        times.append(time.time() - t0)
+    solve_s = min(times)
+
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    rel = float(np.linalg.norm(r) / np.linalg.norm(rhs))
+    assert rel < 1e-7, f"did not converge: {rel}"
+
+    print(
+        json.dumps(
+            {
+                "metric": f"poisson3d_{n}cube_cg_amg_solve_to_1e-8",
+                "value": round(solve_s, 4),
+                "unit": "seconds",
+                "vs_baseline": round(BASELINE_SOLVE_S / solve_s, 2),
+            }
+        )
+    )
+    print(
+        f"# iters={iters} rel_resid={rel:.2e} setup={setup_s:.1f}s "
+        f"solve={solve_s:.4f}s (baseline: amgcl CUDA/K80 0.55s @ 24 iters)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
