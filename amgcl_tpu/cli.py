@@ -1,0 +1,165 @@
+"""Command-line solver.
+
+The mirror of the reference CLI (examples/solver.cpp:62-120): read a
+matrix (MatrixMarket or binary), optionally reorder / scale / reinterpret
+as block-valued, select every component at runtime with the same dotted
+``key=value`` parameters (precond.coarsening.type=..., solver.type=...),
+solve, and print the hierarchy + iterations/error.
+
+    python -m amgcl_tpu.cli -A A.mtx -f b.mtx solver.type=bicgstab \\
+        precond.relax.type=ilu0 solver.tol=1e-8 -b 3 --reorder
+
+Also provides the mm2bin / bin2mm converters (examples/mm2bin.cpp,
+bin2mm.cpp):
+
+    python -m amgcl_tpu.cli convert A.mtx A.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load(path):
+    from .utils.io import mm_read, bin_read
+
+    if path.endswith(".bin"):
+        return bin_read(path)
+    return mm_read(path)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    if argv and argv[0] == "convert":
+        from .utils.io import mm_read, mm_write, bin_read, bin_write
+
+        src, dst = argv[1], argv[2]
+        M = _load(src)
+        if dst.endswith(".bin"):
+            bin_write(dst, M)
+        else:
+            mm_write(dst, M)
+        print(f"{src} -> {dst}")
+        return 0
+
+    ap = argparse.ArgumentParser(
+        prog="amgcl_tpu.cli",
+        description="TPU-native AMG solver (capability mirror of the "
+        "reference examples/solver.cpp)",
+    )
+    ap.add_argument("-A", "--matrix", required=True, help="matrix file (.mtx/.bin)")
+    ap.add_argument("-f", "--rhs", help="rhs file (default: ones)")
+    ap.add_argument("-n", "--null", help="near-nullspace vectors file")
+    ap.add_argument("-b", "--block-size", type=int, default=1)
+    ap.add_argument("--reorder", action="store_true", help="Cuthill-McKee reorder")
+    ap.add_argument("--scale", action="store_true", help="symmetric diagonal scaling")
+    ap.add_argument("--grid", help="logical grid dims, e.g. 150,150,150 "
+                    "(enables the structured fast path)")
+    ap.add_argument("-P", "--params", help="JSON parameter file")
+    ap.add_argument("-o", "--output", help="write solution (.mtx/.bin)")
+    ap.add_argument("prm", nargs="*", help="dotted key=value parameters")
+    args = ap.parse_args(argv)
+
+    from .runtime import make_solver_from_config, expand_dotted
+    from .utils.profiler import Profiler
+
+    prof = Profiler("amgcl_tpu")
+
+    with prof.scope("read"):
+        A = _load(args.matrix)
+        rhs = _load(args.rhs) if args.rhs else np.ones(A.shape[0])
+
+    config = {}
+    if args.params:
+        with open(args.params) as f:
+            config = json.load(f)
+    flat = {}
+    for kv in args.prm:
+        k, _, v = kv.partition("=")
+        try:
+            v = json.loads(v)
+        except json.JSONDecodeError:
+            pass
+        flat[k] = v
+    for k, v in expand_dotted(flat).items():
+        if isinstance(v, dict) and isinstance(config.get(k), dict):
+            _deep_update(config[k], v)
+        else:
+            config[k] = v
+    if args.block_size > 1:
+        config["block"] = args.block_size
+
+    reorder = scale = None
+    if args.reorder:
+        from .adapter import ReorderedProblem
+
+        reorder = ReorderedProblem(A)
+        A, rhs = reorder.A, reorder.forward(rhs)
+    if args.scale:
+        from .adapter import ScaledProblem
+
+        scale = ScaledProblem(A)
+        A, rhs = scale.A, scale.scale_rhs(rhs)
+    if args.grid:
+        dims = tuple(int(d) for d in args.grid.split(","))
+        config.setdefault("precond", {})["coarsening"] = {
+            "type": "grid_aggregation", "dims": dims,
+        }
+    if args.null:
+        B = np.asarray(_load(args.null))
+        if B.ndim == 1:
+            B = B[:, None]
+        config.setdefault("precond", {}).setdefault("coarsening", {})[
+            "nullspace"
+        ] = B
+
+    with prof.scope("setup"):
+        S = make_solver_from_config(A, config)
+
+    if hasattr(S.precond, "levels"):
+        print(repr(S.precond))
+        print()
+
+    with prof.scope("solve (incl. compile)"):
+        x, info = S(rhs)
+        iters = int(info.iters)
+    with prof.scope("solve (compiled)"):
+        x, info = S(rhs)
+        iters = int(info.iters)
+
+    xs = np.asarray(x, dtype=np.float64)
+    if scale is not None:
+        xs = scale.unscale_solution(xs)
+    if reorder is not None:
+        xs = reorder.backward(xs)
+
+    print(f"Iterations: {iters}")
+    print(f"Error:      {float(info.error):.6e}")
+    print()
+    print(prof.report())
+
+    if args.output:
+        from .utils.io import mm_write, bin_write
+
+        (bin_write if args.output.endswith(".bin") else mm_write)(
+            args.output, xs
+        )
+    return 0
+
+
+def _deep_update(dst: dict, src: dict):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -145,10 +145,11 @@ class GridAggregation:
         return galerkin(A, P, R)
 
     def device_transfer(self, dtype):
-        """Matrix-free device-side P/R for the level just built."""
+        """Matrix-free device-side P/R for the level just built.  Sᵀ comes
+        from the analytic DIA transpose (no second conversion pass)."""
         if self._S_host is not None:
             S = DiaMatrix.from_scipy(self._S_host, dtype=dtype)
-            St = DiaMatrix.from_scipy(self._S_host.T.tocsr(), dtype=dtype)
+            St = S.transpose()
         else:
             S = St = None
         return GridTransfer(

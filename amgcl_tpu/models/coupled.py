@@ -1,0 +1,59 @@
+"""Synthetic coupled-physics model problems for the composite
+preconditioners (the roles of the reference tutorials 3.CoupCons3D,
+4.Stokes and the reservoir CPR examples)."""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from .poisson import poisson2d
+
+
+def stokes2d(n: int, eps: float = 1e-2, seed: int = 0):
+    """Stabilized Stokes-like saddle-point system.
+
+    Velocity block = 2 stacked 2D Poissons; B = sparse divergence-like
+    coupling; pressure block = -eps·I (stabilization).  Returns
+    (A, rhs, pmask) with pressure dofs last."""
+    K1, _ = poisson2d(n)
+    nu1 = K1.shape[0]
+    K = sp.block_diag([K1, K1], format="csr")
+    nu = 2 * nu1
+    npr = nu1 // 2
+
+    rng = np.random.default_rng(seed)
+    # Divergence-ish: each pressure couples to a handful of velocities.
+    rows, cols, vals = [], [], []
+    for j in range(npr):
+        picks = rng.choice(nu, size=4, replace=False)
+        rows.extend(picks)
+        cols.extend([j] * 4)
+        vals.extend([1.0, -1.0, 1.0, -1.0])
+    B = sp.coo_matrix((vals, (rows, cols)), shape=(nu, npr)).tocsr()
+
+    C = -eps * sp.eye(npr)
+    A = sp.bmat([[K, B], [B.T, C]], format="csr")
+    A.sort_indices()
+    pmask = np.zeros(nu + npr, dtype=bool)
+    pmask[nu:] = True
+    rhs = np.ones(nu + npr)
+    return A, rhs, pmask
+
+
+def reservoir2d(n: int, seed: int = 0):
+    """Two-phase reservoir-like block system (block size 2: pressure,
+    saturation per cell) for CPR testing — pressure sub-block elliptic,
+    saturation transport-like, offdiagonal coupling."""
+    P, _ = poisson2d(n)
+    N = P.shape[0]
+    # pressure rows: poisson on p + weak coupling to own s
+    # saturation rows: identity-dominant + coupling to own p
+    Ep = sp.kron(P, np.array([[1.0, 0.0], [0.0, 0.0]]))
+    Es = sp.kron(sp.eye(N), np.array([[0.0, 0.2], [0.5, 2.0]]))
+    # weak neighbour coupling in saturation
+    Et = sp.kron(P - sp.diags(P.diagonal()), np.array([[0.0, 0.0], [0.0, 0.05]]))
+    A = sp.csr_matrix(Ep + Es + Et)
+    A.sort_indices()
+    rhs = np.ones(2 * N)
+    return A, rhs

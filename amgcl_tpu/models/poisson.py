@@ -16,31 +16,35 @@ import scipy.sparse as sp
 def poisson3d(n: int, dtype=np.float64) -> tuple[sp.csr_matrix, np.ndarray]:
     """7-point 3D Poisson on an n×n×n grid; returns (A, rhs).
 
-    Matches the structure of the reference sample problem: diagonal 6 (here
-    scaled like the standard finite-difference stencil), off-diagonals -1,
-    rhs = 1.
+    Matches the structure of the reference sample problem: diagonal 6,
+    off-diagonals -1, rhs = 1.  Built directly in CSR (stencil entries are
+    emitted in column-sorted order per row) — no COO sort pass.
     """
     N = n * n * n
-    idx = np.arange(N)
+    idx = np.arange(N, dtype=np.int64)
     i = idx // (n * n)
     j = (idx // n) % n
     k = idx % n
 
-    rows = [idx]
-    cols = [idx]
-    vals = [np.full(N, 6.0, dtype=dtype)]
+    # Per-row candidate entries in ascending column order.
+    offs = np.array([-n * n, -n, -1, 0, 1, n, n * n], dtype=np.int64)
+    lo_ok = np.stack(
+        [i > 0, j > 0, k > 0, np.ones(N, bool), k < n - 1, j < n - 1, i < n - 1],
+        axis=1,
+    )
+    cols7 = idx[:, None] + offs[None, :]
+    mask = lo_ok
 
-    for axis, coord, stride in ((0, i, n * n), (1, j, n), (2, k, 1)):
-        for d in (-1, 1):
-            m = (coord + d >= 0) & (coord + d < n)
-            rows.append(idx[m])
-            cols.append(idx[m] + d * stride)
-            vals.append(np.full(m.sum(), -1.0, dtype=dtype))
-
-    A = sp.coo_matrix(
-        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
-        shape=(N, N),
-    ).tocsr()
+    counts = mask.sum(axis=1)
+    indptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = cols7[mask]
+    # Diagonal is stencil slot 3; its CSR position is indptr[row] + number
+    # of valid entries in slots 0..2.
+    data = np.full(len(indices), -1.0, dtype=dtype)
+    data[indptr[:-1] + mask[:, :3].sum(axis=1)] = 6.0
+    A = sp.csr_matrix((data, indices, indptr), shape=(N, N))
+    A._has_canonical_format = True
     rhs = np.ones(N, dtype=dtype)
     return A, rhs
 

@@ -210,21 +210,41 @@ class DiaMatrix:
         return dataclasses.replace(self, data=self.data.astype(dtype))
 
     @staticmethod
-    def from_scipy(A, dtype=jnp.float32) -> "DiaMatrix":
+    def from_scipy(A, dtype=jnp.float32, _analysis=None) -> "DiaMatrix":
         A = sp.csr_matrix(A)
         n, m = A.shape
-        rows = np.repeat(np.arange(n), np.diff(A.indptr))
-        offs = A.indices.astype(np.int64) - rows
-        uniq = np.unique(offs)
-        dmap = {int(d): k for k, d in enumerate(uniq)}
-        data = np.zeros((len(uniq), n), dtype=np.float64)
-        didx = np.searchsorted(uniq, offs)
-        data[didx, rows] = A.data
+        if _analysis is None:
+            _analysis = _dia_analyze(A)
+        uniq, didx, rows = _analysis
+        data = np.zeros((len(uniq), n), dtype=np.dtype(dtype))
+        # flat scatter (single pass, no float64 intermediate)
+        data.reshape(-1)[didx * np.int64(n) + rows] = A.data
         return DiaMatrix(
             data=jnp.asarray(data, dtype=dtype),
             offsets=tuple(int(d) for d in uniq),
             shape=(n, m),
             nnz=int(A.nnz),
+        )
+
+    def transpose(self) -> "DiaMatrix":
+        """Aᵀ analytically: offsets negate, each diagonal's data shifts by
+        its offset — no sparse conversion pass (works on device data)."""
+        n, m = self.shape
+        new_offs = tuple(-d for d in reversed(self.offsets))
+        rows = []
+        for d in reversed(self.offsets):
+            src = self.data[self.offsets.index(d)]
+            lo = max(0, d)
+            hi = min(m, n + d)
+            row = jnp.zeros(m, dtype=self.data.dtype)
+            if hi > lo:
+                row = row.at[lo:hi].set(
+                    jax.lax.slice(src, (lo - d,), (hi - d,))
+                )
+            rows.append(row)
+        return DiaMatrix(
+            data=jnp.stack(rows), offsets=new_offs, shape=(m, n),
+            nnz=self.nnz,
         )
 
     def to_scipy(self) -> sp.csr_matrix:
@@ -244,28 +264,44 @@ class DiaMatrix:
         return M
 
 
+def _dia_analyze(A: sp.csr_matrix):
+    """One pass over the pattern: (unique offsets, per-nnz diag index,
+    per-nnz row)."""
+    n = A.shape[0]
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    offs = A.indices.astype(np.int64) - rows
+    uniq, didx = np.unique(offs, return_inverse=True)
+    return uniq, didx, rows
+
+
 def dia_viable(A, max_diags: int | None = None) -> bool:
     """Heuristic: DIA wins whenever the distinct-offset count is within a
     small factor of the max row width (gathers are catastrophically slower
     than the extra zero-padded lanes)."""
     A = sp.csr_matrix(A)
-    n = A.shape[0]
-    if n == 0 or A.nnz == 0:
+    if A.shape[0] == 0 or A.nnz == 0:
         return False
-    rows = np.repeat(np.arange(n), np.diff(A.indptr))
-    offs = A.indices.astype(np.int64) - rows
-    ndiag = len(np.unique(offs))
+    uniq, _, _ = _dia_analyze(A)
     K = int(np.diff(A.indptr).max())
     if max_diags is None:
         max_diags = max(48, 3 * K)
-    return ndiag <= max_diags
+    return len(uniq) <= max_diags
 
 
-def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None):
+def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
+                    format: str = "auto"):
     """Pick the fastest device format for this matrix (DIA when compact,
-    block-ELL otherwise)."""
-    if block == 1 and dia_viable(A, max_diags):
-        return DiaMatrix.from_scipy(A, dtype=dtype)
+    block-ELL otherwise).  format='dia'/'ell' forces; 'auto' analyzes the
+    offset pattern once and reuses the analysis for the conversion."""
+    if format == "dia" or (format == "auto" and block == 1):
+        A = sp.csr_matrix(A)
+        if A.shape[0] and A.nnz:
+            analysis = _dia_analyze(A)
+            uniq = analysis[0]
+            K = int(np.diff(A.indptr).max())
+            limit = max_diags if max_diags is not None else max(48, 3 * K)
+            if format == "dia" or len(uniq) <= limit:
+                return DiaMatrix.from_scipy(A, dtype=dtype, _analysis=analysis)
     return SparseMatrix.from_scipy(A, block=block, dtype=dtype)
 
 

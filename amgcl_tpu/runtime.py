@@ -107,6 +107,26 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
                 "precond.coarsening",
             )
             cprm.setdefault("block_size", block)
+        elif ctype == "aggregation":
+            _check_keys(
+                cprm, {"eps_strong", "over_interp", "nullspace"},
+                "precond.coarsening",
+            )
+            cprm.setdefault("block_size", block)
+        elif ctype == "ruge_stuben":
+            _check_keys(
+                cprm, {"eps_strong", "do_trunc", "eps_trunc"},
+                "precond.coarsening",
+            )
+        elif ctype == "grid_aggregation":
+            _check_keys(
+                cprm,
+                {"dims", "relax", "smooth", "eps_strong",
+                 "estimate_spectral_radius", "power_iters"},
+                "precond.coarsening",
+            )
+            if "dims" in cprm:
+                cprm["dims"] = tuple(int(d) for d in cprm["dims"])
         coarsening = make_coarsening(ctype, **cprm)
 
         rprm = dict(pprm.pop("relax", {}))
