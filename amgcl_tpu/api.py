@@ -174,3 +174,11 @@ class Solver:
 
 def make_solver(A, solver="cg", precond="amg", **kw) -> Solver:
     return Solver(A, solver=solver, precond=precond, **kw)
+
+
+def make_block_solver(A, block: int, solver="cg", precond="amg", **kw) -> Solver:
+    """Solve a scalar-input system with block value types (the reference's
+    make_block_solver, amgcl/make_block_solver.hpp:20: convert scalar input
+    to blocks, solve, reinterpret vectors — vector reinterpretation is a
+    no-op in our flat layout)."""
+    return Solver(A, solver=solver, precond=precond, block=block, **kw)

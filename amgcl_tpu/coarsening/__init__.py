@@ -11,9 +11,13 @@ from .smoothed_aggregation import SmoothedAggregation, galerkin, spectral_radius
 from .aggregation import Aggregation
 from .ruge_stuben import RugeStuben
 from .grid_aggregation import GridAggregation, GridTransfer
+from .smoothed_aggr_emin import SmoothedAggrEMin
+from .as_scalar import AsScalar
+from .rigid_body_modes import rigid_body_modes
 
 COARSENING = {
     "smoothed_aggregation": SmoothedAggregation,
+    "smoothed_aggr_emin": SmoothedAggrEMin,
     "aggregation": Aggregation,
     "ruge_stuben": RugeStuben,
     "grid_aggregation": GridAggregation,

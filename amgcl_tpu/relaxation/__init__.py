@@ -13,6 +13,9 @@ from .spai0 import SPAI0, SPAI0State
 from .chebyshev import Chebyshev, ChebyshevState
 from .gauss_seidel import GaussSeidel, GaussSeidelState
 from .ilu0 import ILU0, ILUState
+from .iluk import ILUK, ILUP
+from .ilut import ILUT
+from .ilu0_chow_patel import ILU0ChowPatel
 from .spai1 import SPAI1, SPAI1State
 
 SMOOTHERS = {
@@ -22,6 +25,10 @@ SMOOTHERS = {
     "chebyshev": Chebyshev,
     "gauss_seidel": GaussSeidel,
     "ilu0": ILU0,
+    "ilu0_chow_patel": ILU0ChowPatel,
+    "iluk": ILUK,
+    "ilup": ILUP,
+    "ilut": ILUT,
 }
 
 

@@ -99,7 +99,12 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
         ctype = cprm.pop("type", "smoothed_aggregation")
         if ctype not in COARSENING:
             raise ValueError(f"unknown coarsening type {ctype!r}")
-        if ctype == "smoothed_aggregation":
+        if ctype == "smoothed_aggr_emin":
+            _check_keys(
+                cprm, {"eps_strong", "nullspace"}, "precond.coarsening"
+            )
+            cprm.setdefault("block_size", block)
+        elif ctype == "smoothed_aggregation":
             _check_keys(
                 cprm,
                 {"eps_strong", "relax", "estimate_spectral_radius",
@@ -176,6 +181,43 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
             solver_dtype=solver_dtype,
             precond_dtype=precond_dtype,
             **sprm,
+        )
+
+    if pclass == "cpr":
+        from .precond.cpr import CPR
+
+        _check_keys(
+            pprm, {"block_size", "active_rows", "pprecond", "sprecond"},
+            "precond",
+        )
+        sprec = pprm.pop("sprecond", None)
+        if isinstance(sprec, dict):
+            rp = dict(sprec)
+            sprec = make_smoother(rp.pop("type", "ilu0"), **rp)
+        P = CPR(
+            A, pprm.pop("block_size", block), sprecond=sprec,
+            dtype=precond_dtype, **pprm,
+        )
+        return Solver(
+            A, solver=stype, precond=P, solver_dtype=solver_dtype,
+            precond_dtype=precond_dtype, **sprm,
+        )
+
+    if pclass == "schur_pressure_correction":
+        from .precond.schur import SchurPressureCorrection
+
+        _check_keys(
+            pprm,
+            {"pmask", "usolver", "psolver", "type", "approx_schur",
+             "adjust_p", "simplec_dia"},
+            "precond",
+        )
+        P = SchurPressureCorrection(
+            A, pprm.pop("pmask"), dtype=precond_dtype, **pprm
+        )
+        return Solver(
+            A, solver=stype, precond=P, solver_dtype=solver_dtype,
+            precond_dtype=precond_dtype, **sprm,
         )
 
     raise ValueError(f"unknown preconditioner class {pclass!r}")

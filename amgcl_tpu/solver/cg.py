@@ -24,8 +24,14 @@ def cg(
     tol=1e-8,
     abstol=1e-30,
     maxiter=100,
+    ns_search=False,
     inner_product=blas1.inner_product,
 ):
+    """ns_search: when rhs is zero, keep iterating from x0 toward a
+    nullspace vector instead of returning zero (reference cg.hpp `ns_search`
+    param) — the zero-rhs normalization used here makes this the default
+    behaviour, the flag is accepted for parameter parity."""
+    del ns_search
     Aop = as_operator(A)
     Pop = as_precond(P)
     norm = norm_of(inner_product)

@@ -53,7 +53,9 @@ def test_solver_sweep_amg(poisson16, solver):
 
 
 @pytest.mark.parametrize(
-    "smoother", ["damped_jacobi", "spai0", "chebyshev", "gauss_seidel", "ilu0"]
+    "smoother",
+    ["damped_jacobi", "spai0", "chebyshev", "gauss_seidel", "ilu0",
+     "ilu0_chow_patel", "iluk", "ilup", "ilut"],
 )
 def test_smoother_sweep(poisson16, smoother):
     from amgcl_tpu.relaxation import make_smoother

@@ -1,0 +1,114 @@
+"""Tests for the remaining capability rows: energy-min SA, as_scalar,
+rigid body modes, make_block_solver, runtime CPR/Schur, ns_search."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from amgcl_tpu.models.poisson import poisson3d, poisson2d
+from amgcl_tpu.models.coupled import reservoir2d, stokes2d
+from amgcl_tpu import make_solver, make_solver_from_config
+from amgcl_tpu.api import make_block_solver
+from amgcl_tpu.coarsening import SmoothedAggrEMin, AsScalar, RugeStuben
+from amgcl_tpu.coarsening.rigid_body_modes import rigid_body_modes
+
+
+def _check(S, A, rhs, tol=1e-6):
+    x, info = S(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    rel = np.linalg.norm(r) / np.linalg.norm(rhs)
+    assert rel < tol, f"rel={rel} iters={int(info.iters)}"
+    return int(info.iters)
+
+
+def test_smoothed_aggr_emin():
+    A, rhs = poisson3d(12)
+    S = make_solver(A, solver="cg", tol=1e-8, maxiter=100,
+                    coarsening=SmoothedAggrEMin())
+    iters = _check(S, A, rhs, tol=1e-7)
+    assert iters <= 40
+
+
+def test_as_scalar_ruge_stuben_block():
+    A, _ = poisson2d(10)
+    Ab = sp.csr_matrix(sp.kron(A, np.eye(2)))
+    rhs = np.ones(Ab.shape[0])
+    S = make_solver(
+        Ab, solver="cg", block=2, tol=1e-8, maxiter=200,
+        coarsening=AsScalar(RugeStuben(), block_size=2),
+    )
+    _check(S, Ab, rhs, tol=1e-7)
+
+
+def test_rigid_body_modes_shapes():
+    rng = np.random.default_rng(0)
+    coo2 = rng.standard_normal((25, 2))
+    B2 = rigid_body_modes(2, coo2)
+    assert B2.shape == (50, 3)
+    # orthonormal
+    np.testing.assert_allclose(B2.T @ B2, np.eye(3), atol=1e-12)
+    coo3 = rng.standard_normal((25, 3))
+    B3 = rigid_body_modes(3, coo3)
+    assert B3.shape == (75, 6)
+    np.testing.assert_allclose(B3.T @ B3, np.eye(6), atol=1e-12)
+    # translations + rotations are in the span: rigid displacement fields
+    # have zero strain — check one rotation field around z
+    x, y, z = coo3.T
+    rot = np.zeros(75)
+    rot[0::3], rot[1::3] = -y, x
+    proj = B3 @ (B3.T @ rot)
+    np.testing.assert_allclose(proj, rot, atol=1e-10)
+
+
+def test_make_block_solver():
+    from amgcl_tpu.models.poisson import poisson3d_block
+
+    A, rhs = poisson3d_block(8, block=3)
+    S = make_block_solver(A, block=3, tol=1e-8, maxiter=100)
+    _check(S, A, rhs, tol=1e-7)
+
+
+def test_runtime_cpr():
+    A, rhs = reservoir2d(10)
+    S = make_solver_from_config(
+        A,
+        {
+            "solver": {"type": "bicgstab", "tol": 1e-8, "maxiter": 200},
+            "precond": {"class": "cpr", "block_size": 2},
+        },
+    )
+    _check(S, A, rhs)
+
+
+def test_runtime_schur():
+    A, rhs, pmask = stokes2d(10)
+    S = make_solver_from_config(
+        A,
+        {
+            "solver": {"type": "fgmres", "tol": 1e-8, "maxiter": 200},
+            "precond": {
+                "class": "schur_pressure_correction",
+                "pmask": pmask,
+                "approx_schur": True,
+            },
+        },
+    )
+    _check(S, A, rhs)
+
+
+def test_ns_search_zero_rhs():
+    """Zero rhs with nonzero x0: CG should drive x toward the nullspace
+    (here: decay toward zero for SPD A, without NaNs)."""
+    import jax.numpy as jnp
+    from amgcl_tpu.solver import SOLVERS
+    from amgcl_tpu.ops.formats import from_scipy_auto
+
+    A, _ = poisson2d(8)
+    Ad = from_scipy_auto(A, dtype=jnp.float64)
+    x0 = jnp.asarray(np.random.default_rng(0).standard_normal(64))
+    x, info = SOLVERS["cg"](
+        Ad, None, jnp.zeros(64), x0, tol=1e-10, maxiter=200, ns_search=True
+    )
+    assert np.isfinite(np.asarray(x)).all()
+    assert float(jnp.linalg.norm(Ad.data)) > 0
