@@ -65,8 +65,26 @@ class Solver:
         from .ops.formats import from_scipy_auto
         self.A_dev = from_scipy_auto(A, block=block, dtype=solver_dtype)
 
+        device_setup = solver_params.pop("device_setup", False)
         if isinstance(precond, str):
-            if precond == "amg":
+            if precond == "amg" and device_setup:
+                from .coarsening.grid_aggregation import GridAggregation
+                from .precond.grid_setup import GridAMG
+
+                if not isinstance(coarsening, GridAggregation):
+                    raise ValueError(
+                        "device_setup requires GridAggregation coarsening"
+                    )
+                self.precond = GridAMG(
+                    A,
+                    coarsening.dims,
+                    relaxation=relaxation,
+                    params=amg_params,
+                    dtype=precond_dtype,
+                    eps_strong=coarsening.eps_strong,
+                    relax_factor=coarsening.relax,
+                )
+            elif precond == "amg":
                 self.precond = AMG(
                     A,
                     coarsening=coarsening,
@@ -93,10 +111,12 @@ class Solver:
 
     # ------------------------------------------------------------------
     def _make_jitted(self):
+        from .precond.grid_setup import GridAMG
+
         solver_fn = self._solver_fn
         params = dict(self.solver_params)
 
-        if isinstance(self.precond, AMG):
+        if isinstance(self.precond, (AMG, GridAMG)):
             prm = self.precond.prm
 
             @partial(jax.jit, static_argnames=())

@@ -93,10 +93,17 @@ class AMG:
         block: int = 1,
         dtype=jnp.float32,
     ):
+        import copy
+
         self.prm = params or AMGParams()
         self.block = block
         self.dtype = dtype
-        self.coarsening = coarsening or SmoothedAggregation(block_size=block)
+        # Coarsening policies are stateful across levels (eps decay, grid
+        # dims, nullspace propagation) — work on a private copy so the
+        # caller's instance stays reusable.
+        self.coarsening = copy.deepcopy(
+            coarsening or SmoothedAggregation(block_size=block)
+        )
         self.relaxation = relaxation or rlx.SPAI0()
         A = sp.csr_matrix(A)
         A.sort_indices()
@@ -111,11 +118,19 @@ class AMG:
         # (amgcl/solver/skyline_lu.hpp:92-94 via amg.hpp).
         coarse_enough = prm.coarse_enough
 
+        # With near-nullspace vectors the coarse block size becomes the
+        # number of modes, not the fine block size (reference: tentative
+        # prolongation produces ncols dofs per aggregate) — store transfer
+        # and coarse operators in scalar form then (the role of the
+        # reference's as_scalar auto-wrap, coarsening/runtime.hpp:101).
+        has_ns = getattr(self.coarsening, "nullspace", None) is not None
+        blk = self.block
+
         while len(levels) < prm.max_levels:
             n = A.shape[0]
             if n <= coarse_enough:
                 break
-            A_dev = from_scipy_auto(A, block=self.block, dtype=self.dtype)
+            A_dev = from_scipy_auto(A, block=blk, dtype=self.dtype)
             relax_state = self.relaxation.setup(A, A_dev)
             P, R = self.coarsening.transfer_operators(A)
             if P.shape[1] == 0:
@@ -127,11 +142,15 @@ class AMG:
                 self._host_ops.append((A, None, None))
                 return tuple(levels)
             Ac = self.coarsening.coarse_operator(A, P, R)
+            if has_ns:
+                blk = 1   # coarse dofs are nullspace modes, not blocks
             if hasattr(self.coarsening, "device_transfer"):
                 P_dev = R_dev = self.coarsening.device_transfer(self.dtype)
             else:
-                P_dev = from_scipy_auto(P, block=self.block, dtype=self.dtype)
-                R_dev = from_scipy_auto(R, block=self.block, dtype=self.dtype)
+                P_dev = from_scipy_auto(P, block=1 if has_ns else blk,
+                                        dtype=self.dtype)
+                R_dev = from_scipy_auto(R, block=1 if has_ns else blk,
+                                        dtype=self.dtype)
             levels.append(
                 Level(A=A_dev, P=P_dev, R=R_dev, relax=relax_state,
                       coarse_inv=None)
@@ -140,7 +159,7 @@ class AMG:
             A = Ac
 
         # Coarsest level: dense inverse (factorized on host).
-        A_dev = from_scipy_auto(A, block=self.block, dtype=self.dtype)
+        A_dev = from_scipy_auto(A, block=blk, dtype=self.dtype)
         if self.prm.direct_coarse:
             Ad = np.asarray(A.todense())
             inv = np.linalg.inv(Ad)

@@ -55,7 +55,11 @@ def _gmres_impl(
         beta = norm(r)
 
         V = jnp.zeros((m + 1, n), dtype)
-        Z = jnp.zeros((m, n), dtype) if flexible else None
+        # The preconditioned basis is stored even for plain GMRES: with an
+        # inexactly-applied (e.g. float32 V-cycle) preconditioner the
+        # single-P(V y) recombination drifts from the Givens residual
+        # estimate; storing Z keeps the update exact for both variants.
+        Z = jnp.zeros((m, n), dtype)
         H = jnp.zeros((m + 1, m), dtype)
         cs = jnp.zeros(m, dtype)
         sn = jnp.zeros(m, dtype)
@@ -70,8 +74,7 @@ def _gmres_impl(
             V, Z, H, cs, sn, g, j, res, it = st
             vj = V[j]
             z = Pop(vj)
-            if flexible:
-                Z = Z.at[j].set(z)
+            Z = Z.at[j].set(z)
             w = Aop(z)
             # Modified Gram-Schmidt over the full (masked) basis.
             def mgs(i, carry):
@@ -109,11 +112,9 @@ def _gmres_impl(
         st = (V, Z, H, cs, sn, g, jnp.asarray(0, jnp.int32), beta, it_total)
         V, Z, H, cs, sn, g, j, res, it_total = jax.lax.while_loop(cond, body, st)
 
+        # both variants use the stored preconditioned basis
         y = _solve_upper(H[:m, :], g, j)
-        if flexible:
-            dx = Z.T @ y
-        else:
-            dx = Pop(V[:m].T @ y)
+        dx = Z.T @ y
         return x + dx, res, it_total
 
     def cond(st):

@@ -20,6 +20,9 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_amgcl")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax
     import jax.numpy as jnp
     from amgcl_tpu.models.poisson import poisson3d
     from amgcl_tpu.coarsening.grid_aggregation import GridAggregation
@@ -37,6 +40,7 @@ def main():
         tol=1e-8,
         maxiter=100,
         coarsening=GridAggregation(dims=(n, n, n)),
+        device_setup=True,   # hierarchy built on the TPU (stencil probing)
     )
     setup_s = time.time() - t0
 
