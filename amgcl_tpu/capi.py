@@ -1,0 +1,60 @@
+"""Python side of the C ABI bindings (reference: lib/amgcl.cpp).
+
+The C shared library (lib/amgcl_tpu_c.cpp) embeds the Python runtime and
+calls these functions, passing raw buffer *addresses*; marshaling happens
+here with ctypes/numpy zero-copy views — the same zero-copy contract as
+the reference's amgcl_solver_create(ptr, col, val) C API
+(lib/amgcl.h:44-100).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+
+import numpy as np
+import scipy.sparse as sp
+
+_handles: dict[int, object] = {}
+_next_id = [1]
+
+
+def _view(addr: int, n: int, ctype):
+    return np.ctypeslib.as_array((ctype * n).from_address(addr))
+
+
+def create(n: int, ptr_addr: int, col_addr: int, val_addr: int,
+           params_json: str) -> int:
+    """Build a solver from raw CSR buffers; returns an integer handle."""
+    indptr = _view(ptr_addr, n + 1, ctypes.c_int64).copy()
+    nnz = int(indptr[-1])
+    indices = _view(col_addr, nnz, ctypes.c_int64).copy()
+    data = _view(val_addr, nnz, ctypes.c_double).copy()
+    A = sp.csr_matrix(
+        (data, indices.astype(np.int64), indptr), shape=(n, n)
+    )
+
+    from .runtime import make_solver_from_config
+
+    config = json.loads(params_json) if params_json else {}
+    S = make_solver_from_config(A, config)
+    h = _next_id[0]
+    _next_id[0] += 1
+    _handles[h] = S
+    return h
+
+
+def solve(handle: int, rhs_addr: int, x_addr: int, n: int) -> tuple:
+    """Solve with rhs from rhs_addr; writes the solution into x_addr.
+    Returns (iters, error)."""
+    S = _handles[handle]
+    rhs = _view(rhs_addr, n, ctypes.c_double).copy()
+    x_out = _view(x_addr, n, ctypes.c_double)
+    x0 = x_out.copy()
+    x, info = S(rhs, x0)
+    x_out[:] = np.asarray(x, dtype=np.float64)
+    return int(info.iters), float(info.error)
+
+
+def destroy(handle: int) -> None:
+    _handles.pop(handle, None)

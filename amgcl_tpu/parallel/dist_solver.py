@@ -71,6 +71,7 @@ class DistSolver:
         solver_dtype=jnp.float64,
         precond_dtype=jnp.float32,
         axis: str = "shard",
+        deflation: bool = False,
         **solver_params,
     ):
         if mesh is None:
@@ -145,6 +146,17 @@ class DistSolver:
         else:
             raise ValueError(f"unknown distributed preconditioner {precond!r}")
 
+        # Two-level subdomain deflation (mpi::subdomain_deflation parity):
+        # projected operator + tiny replicated coarse solve.
+        self.deflation = deflation
+        if deflation:
+            from .deflation import make_deflation_ops
+
+            self.AZ, self.Einv = make_deflation_ops(A, S, axis, solver_dtype)
+        else:
+            self.AZ = jnp.zeros((S, n_loc, 1), dtype=solver_dtype)
+            self.Einv = jnp.zeros((1, 1), dtype=solver_dtype)
+
         self.solver_name = solver
         solver_fn = make_solver_fn(solver)
         solver_params.setdefault("tol", 1e-8)
@@ -152,8 +164,9 @@ class DistSolver:
         make_local = self.make_local
         kind = self._precond_kind
         local_prm = getattr(self, "local_prm", None)
+        use_defl = deflation
 
-        def shard_solve(arrs, levels, rhs_loc, x0_loc):
+        def shard_solve(arrs, levels, AZ, Einv, rhs_loc, x0_loc):
             arrs = tuple(a[0] for a in arrs)
             A_local = make_local(arrs)
             Aop = lambda v: dist_spmv(A_local, v)
@@ -167,14 +180,41 @@ class DistSolver:
                 Pop = make_relax_precond(state, blk)
             else:
                 Pop = None
-            return solver_fn(
-                Aop, Pop, rhs_loc, x0_loc,
+
+            if not use_defl:
+                return solver_fn(
+                    Aop, Pop, rhs_loc, x0_loc,
+                    inner_product=inner, **solver_params,
+                )
+
+            from .deflation import make_project
+
+            AZ_loc = AZ[0]                       # (n_loc, S)
+            nparts = Einv.shape[0]
+            proj = make_project(AZ_loc, Einv, axis)
+            my = jax.lax.axis_index(axis)
+
+            def zt(v):
+                return jax.lax.psum(
+                    (jnp.arange(nparts) == my) * jnp.sum(v), axis
+                )
+
+            A_defl = lambda v: proj(Aop(v))
+            xt, info = solver_fn(
+                A_defl, Pop, proj(rhs_loc), x0_loc,
                 inner_product=inner, **solver_params,
             )
+            # x = Q b + Pᵀ x̃
+            qb = (Einv @ zt(rhs_loc))[my] * jnp.ones_like(rhs_loc)
+            w = jax.lax.psum(AZ_loc.T @ xt, axis)
+            x = qb + xt - (Einv.T @ w)[my] * jnp.ones_like(xt)
+            return x, info
 
         in_specs = (
             tuple(P(axis) for _ in self.arrs),
             jax.tree_util.tree_map(lambda _: P(axis), self.levels_stacked),
+            P(axis),
+            P(),
             P(axis),
             P(axis),
         )
@@ -201,5 +241,7 @@ class DistSolver:
             if x0 is None
             else jax.device_put(jnp.asarray(x0, dtype=dt), sh)
         )
-        x, info = self._solve(self.arrs, self.levels_stacked, rhs_d, x0_d)
+        x, info = self._solve(
+            self.arrs, self.levels_stacked, self.AZ, self.Einv, rhs_d, x0_d
+        )
         return x[: self.n_true], info

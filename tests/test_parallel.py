@@ -96,3 +96,21 @@ def test_dist_solver_unaligned_size():
     assert x.shape[0] == A.shape[0]
     r = rhs - A @ np.asarray(x, dtype=np.float64)
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+def test_dist_subdomain_deflation():
+    """mpi::subdomain_deflation parity: constant per-shard deflation must
+    converge and not exceed the undeflated iteration count by much (it
+    usually reduces it for elliptic problems)."""
+    n = 16
+    A, rhs = poisson3d(n)
+    kw = dict(solver="cg", dims=(n, n, n), n_shards=4, tol=1e-8, maxiter=200)
+    plain = DistSolver(A, **kw)
+    defl = DistSolver(A, deflation=True, **kw)
+    x1, i1 = plain(rhs)
+    x2, i2 = defl(rhs)
+    for x in (x1, x2):
+        r = rhs - A @ np.asarray(x, dtype=np.float64)
+        assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+    assert int(i2.iters) <= int(i1.iters) + 5
