@@ -93,7 +93,20 @@ class DistSolver:
         )
 
         # Per-shard local preconditioner on the diagonal blocks.
-        if precond == "amg":
+        if precond == "coupled_amg":
+            # True distributed hierarchy (mpi::amg role) — grid problems.
+            from .dist_amg import build_dist_grid_amg
+
+            if dims is None:
+                raise ValueError("coupled_amg requires grid dims")
+            dlv, tail, local_prm = build_dist_grid_amg(
+                A, dims, S, axis=axis, relaxation=relaxation,
+                params=amg_params, dtype=precond_dtype,
+            )
+            self.local_prm = local_prm
+            self.levels_stacked = (dlv, tail)
+            self._precond_kind = "coupled_amg"
+        elif precond == "amg":
             locals_ = []
             for s in range(S):
                 blk = sp.csr_matrix(
@@ -125,17 +138,35 @@ class DistSolver:
             self._precond_kind = "amg"
         elif precond == "relaxation":
             relaxation = relaxation or rlx.SPAI0()
-            from ..ops.formats import from_scipy_auto
+            from ..ops.formats import SparseMatrix
+            import dataclasses as _dc
 
-            states = []
-            mats = []
-            for s in range(S):
-                blk = sp.csr_matrix(
+            blocks = [
+                sp.csr_matrix(
                     A[s * n_loc : (s + 1) * n_loc, s * n_loc : (s + 1) * n_loc]
                 )
-                blk_dev = from_scipy_auto(blk, dtype=precond_dtype)
-                states.append(relaxation.setup(blk, blk_dev))
-                mats.append(blk_dev)
+                for s in range(S)
+            ]
+            # Uniform ELL width across shards so states stack structurally.
+            mats = [
+                SparseMatrix.from_scipy(b, dtype=precond_dtype)
+                for b in blocks
+            ]
+            K = max(m.width for m in mats)
+            mats = [
+                _dc.replace(
+                    m,
+                    data=jnp.pad(
+                        m.data, ((0, K - m.width), (0, 0), (0, 0), (0, 0))
+                    ),
+                    cols=jnp.pad(m.cols, ((0, K - m.width), (0, 0))),
+                    nnz=-1,   # canonical meta so shard pytrees stack
+                )
+                for m in mats
+            ]
+            states = [
+                relaxation.setup(b, m) for b, m in zip(blocks, mats)
+            ]
             self.levels_stacked = _stack_trees(
                 [(s_, m) for s_, m in zip(states, mats)]
             )
@@ -170,7 +201,12 @@ class DistSolver:
             arrs = tuple(a[0] for a in arrs)
             A_local = make_local(arrs)
             Aop = lambda v: dist_spmv(A_local, v)
-            if kind == "amg":
+            if kind == "coupled_amg":
+                from .dist_amg import dist_amg_apply
+
+                dlv, tail = levels
+                Pop = lambda r: dist_amg_apply(dlv, tail, r, local_prm, axis)
+            elif kind == "amg":
                 lv = _unstack_tree(levels)
                 Pop = lambda r: amg_apply(lv, r, local_prm)
             elif kind == "relaxation":
@@ -210,9 +246,19 @@ class DistSolver:
             x = qb + xt - (Einv.T @ w)[my] * jnp.ones_like(xt)
             return x, info
 
+        if kind == "coupled_amg":
+            dlv, tail = self.levels_stacked
+            levels_spec = (
+                jax.tree_util.tree_map(lambda _: P(axis), dlv),
+                jax.tree_util.tree_map(lambda _: P(), tail),
+            )
+        else:
+            levels_spec = jax.tree_util.tree_map(
+                lambda _: P(axis), self.levels_stacked
+            )
         in_specs = (
             tuple(P(axis) for _ in self.arrs),
-            jax.tree_util.tree_map(lambda _: P(axis), self.levels_stacked),
+            levels_spec,
             P(axis),
             P(),
             P(axis),

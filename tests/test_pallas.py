@@ -1,0 +1,37 @@
+"""Pallas kernel tests (interpret mode — runs on CPU)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from amgcl_tpu.models.poisson import poisson3d, poisson2d
+from amgcl_tpu.ops.formats import DiaMatrix
+from amgcl_tpu.ops.spmv import spmv
+from amgcl_tpu.ops.pallas_spmv import spmv_dia_pallas
+
+
+@pytest.mark.parametrize("n,tile", [(12, 512), (10, 128)])
+def test_pallas_dia_spmv_matches(n, tile):
+    A, _ = poisson3d(n)
+    D = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(A.shape[0]), jnp.float32
+    )
+    y_ref = spmv(D, x)
+    y = spmv_dia_pallas(D, x, tile=tile, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_pallas_dia_wide_offsets():
+    # 2D poisson has offsets (-n, -1, 0, 1, n): wide halo
+    A, _ = poisson2d(24)
+    D = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(A.shape[0]), jnp.float32
+    )
+    y = spmv_dia_pallas(D, x, tile=256, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(spmv(D, x)), rtol=1e-6, atol=1e-6
+    )

@@ -114,3 +114,30 @@ def test_dist_subdomain_deflation():
         r = rhs - A @ np.asarray(x, dtype=np.float64)
         assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
     assert int(i2.iters) <= int(i1.iters) + 5
+
+
+@pytest.mark.skipif(NDEV < 2, reason="needs multiple devices")
+@pytest.mark.parametrize("S", [2, 4])
+def test_coupled_dist_amg_matches_serial(S):
+    """The coupled distributed hierarchy must reproduce the serial
+    grid-AMG iteration count exactly (same operators, mpi::amg role)."""
+    import jax.numpy as jnp
+    from amgcl_tpu import make_solver
+    from amgcl_tpu.coarsening import GridAggregation
+
+    n = 16
+    A, rhs = poisson3d(n)
+    serial = make_solver(
+        A, solver="cg", tol=1e-8, maxiter=100,
+        coarsening=GridAggregation(dims=(n, n, n)), device_setup=True,
+    )
+    _, i_ser = serial(rhs)
+
+    dist = DistSolver(
+        A, solver="cg", dims=(n, n, n), n_shards=S,
+        precond="coupled_amg", tol=1e-8, maxiter=100,
+    )
+    x, i_dist = dist(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+    assert int(i_dist.iters) == int(i_ser.iters)
