@@ -107,6 +107,107 @@ def plain_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08) -> Aggregates:
     return Aggregates(count=count, id=ids, strong=strong)
 
 
+def pmis_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08,
+                    seed: int = 42) -> Aggregates:
+    """Parallel maximal-independent-set (distance-2) aggregation — the
+    algorithm family of the reference's distributed coarsening
+    (amgcl/mpi/coarsening/pmis.hpp:50-1131), here as a vectorized
+    data-parallel sweep with no sequential dependence:
+
+    * every point draws a deterministic random weight;
+    * rounds: an undecided point whose weight is the maximum among all
+      undecided points within distance 2 of the strength graph becomes an
+      aggregate root; undecided strong neighbours join the heaviest
+      adjacent root, then neighbours-of-members are captured (the same
+      distance-2 reach as the greedy pass);
+    * repeats until everything is decided — O(log n) rounds, each a few
+      segment max/argmax passes, which is exactly the shape that ports to
+      a jittable on-device sweep.
+
+    Produces the same Aggregates contract as `plain_aggregates` (ids,
+    count, strength mask), so any aggregation-based coarsening can use it
+    via ``aggregates='pmis'``.
+    """
+    n = A.shape[0]
+    strong = strong_connections(A, eps_strong)
+    rows_all = np.repeat(np.arange(n), np.diff(A.indptr))
+    er = rows_all[strong]
+    ec = A.indices[strong]
+
+    row_has_strong = np.zeros(n, dtype=bool)
+    row_has_strong[er] = True
+    ids = np.where(row_has_strong, UNDEFINED, REMOVED).astype(np.int64)
+
+    # Deterministic unique weights: a fixed pseudo-random permutation.
+    rng = np.random.default_rng(seed)
+    w = rng.permutation(n).astype(np.int64) + 1   # > 0; unique
+    NEG = np.int64(0)
+
+    count = 0
+    # Each round decides at least the global undecided maximum, and in
+    # practice a constant fraction; bound the loop defensively.
+    for _ in range(200):
+        live = ids == UNDEFINED
+        if not live.any():
+            break
+        key = np.where(live, w, NEG)
+        # two max-propagations over the strength graph = distance-2 max
+        m1 = key.copy()
+        np.maximum.at(m1, er, key[ec])
+        m2 = m1.copy()
+        np.maximum.at(m2, er, m1[ec])
+        roots = live & (key == m2) & (key > 0)
+        ridx = np.flatnonzero(roots)
+        if len(ridx) == 0:
+            # only possible if live nodes all lost ties to dead maxima —
+            # cannot happen with unique weights, but stay safe
+            ridx = np.flatnonzero(live)[:1]
+            roots = np.zeros(n, dtype=bool)
+            roots[ridx] = True
+        new_ids = count + np.arange(len(ridx), dtype=np.int64)
+        ids[ridx] = new_ids
+        count += len(ridx)
+
+        # 1-hop capture: undecided nodes join the heaviest adjacent root.
+        root_w = np.where(roots, w, NEG)
+        best = np.zeros(n, dtype=np.int64)
+        np.maximum.at(best, er, root_w[ec])
+        join = live & ~roots & (best > 0)
+        if join.any():
+            # find the edge that achieves the max (weights unique)
+            hit = join[er] & (root_w[ec] == best[er])
+            ids[er[hit]] = ids[ec[hit]]
+
+            # 2-hop capture: undecided nodes adjacent to a just-joined
+            # member are pulled into that member's aggregate (greedy's
+            # neighbour-of-neighbour reach, plain_aggregates.hpp:171-184).
+            member = np.zeros(n, dtype=bool)
+            member[er[hit]] = True
+            mem_w = np.where(member, w, NEG)
+            best2 = np.zeros(n, dtype=np.int64)
+            live2 = ids == UNDEFINED
+            np.maximum.at(best2, er, mem_w[ec])
+            hit2 = live2[er] & (mem_w[ec] == best2[er]) & (mem_w[ec] > 0)
+            ids[er[hit2]] = ids[ec[hit2]]
+    else:
+        raise RuntimeError("pmis aggregation did not converge")
+
+    if count == 0:
+        raise RuntimeError("empty level: no aggregates could be formed")
+
+    # Renumber aggregates by their smallest fine index so coarse numbering
+    # stays roughly monotone with fine rows (keeps the distributed halo
+    # windows narrow).
+    first = np.full(count, np.iinfo(np.int64).max)
+    valid = ids >= 0
+    np.minimum.at(first, ids[valid], np.flatnonzero(valid))
+    order = np.argsort(first, kind="stable")
+    remap = np.empty(count, dtype=np.int64)
+    remap[order] = np.arange(count)
+    ids[valid] = remap[ids[valid]]
+    return Aggregates(count=count, id=ids, strong=strong)
+
+
 def pointwise_matrix(A: sp.csr_matrix, block: int) -> sp.csr_matrix:
     """Compress a scalar matrix to its pointwise (per-block) norm matrix
     (reference: amgcl/backend/builtin.hpp:505 — value is the sum of entry
@@ -128,17 +229,23 @@ def pointwise_matrix(A: sp.csr_matrix, block: int) -> sp.csr_matrix:
     return Ap
 
 
+AGGREGATORS = {"greedy": plain_aggregates, "pmis": pmis_aggregates}
+
+
 def pointwise_aggregates(
-    A: sp.csr_matrix, eps_strong: float = 0.08, block: int = 1
+    A: sp.csr_matrix, eps_strong: float = 0.08, block: int = 1,
+    method: str = "greedy",
 ) -> Aggregates:
     """Block-aware aggregation (reference:
     amgcl/coarsening/pointwise_aggregates.hpp:51): aggregate the pointwise
     matrix, then expand so each aggregate yields `block` coarse dofs laid
-    out contiguously."""
+    out contiguously.  ``method`` picks the scalar aggregator: the greedy
+    sequential pass or the data-parallel PMIS sweep."""
+    aggregate = AGGREGATORS[method]
     if block == 1:
-        return plain_aggregates(A, eps_strong)
+        return aggregate(A, eps_strong)
     Ap = pointwise_matrix(A, block)
-    pw = plain_aggregates(Ap, eps_strong)
+    pw = aggregate(Ap, eps_strong)
     n = A.shape[0]
     ids = np.empty(n, dtype=np.int64)
     k = np.arange(n) % block

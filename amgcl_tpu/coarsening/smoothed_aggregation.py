@@ -35,10 +35,13 @@ class SmoothedAggregation:
     power_iters: int = 0
     block_size: int = 1
     nullspace: np.ndarray | None = None   # (n, ncols) near-nullspace or None
+    aggregates: str = "greedy"            # or "pmis" (parallel MIS sweep)
 
     def transfer_operators(self, A: sp.csr_matrix):
         n = A.shape[0]
-        aggr = pointwise_aggregates(A, self.eps_strong, self.block_size)
+        aggr = pointwise_aggregates(
+            A, self.eps_strong, self.block_size, method=self.aggregates
+        )
         self.eps_strong *= 0.5
 
         P_tent, B_coarse = tentative_prolongation(

@@ -67,12 +67,50 @@ class DistDia:
 @dataclasses.dataclass(frozen=True)
 class DistEll:
     """Row-partitioned block-ELL with *global* column indices; ghost values
-    come from an all_gather of x."""
+    come from an all_gather of x.
+
+    Supports rectangular operators: ``n`` is the *global column* count (the
+    length of the gathered input), ``n_loc`` the local row-slab size."""
 
     data: jax.Array   # (K, b, b, nb_loc)
     cols: jax.Array   # (K, nb_loc) global block columns
     n: int
     n_loc: int
+    block: int
+    axis: str
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data", "cols"],
+    meta_fields=["n", "nr_loc", "nc_loc", "halo", "block", "axis"],
+)
+@dataclasses.dataclass(frozen=True)
+class DistEllH:
+    """Row-partitioned block-ELL with *window-local* column indices — the
+    TPU-native comm_pattern (reference: amgcl/mpi/distributed_matrix.hpp:51-314).
+
+    The reference exchanges ghost values through per-neighbour index lists
+    built with MPI_Alltoall.  Here the exchange is two contiguous slabs of
+    ``halo`` block-rows moved with `lax.ppermute` (left + right neighbour) —
+    contiguity is what ICI wants, and any matrix whose per-shard column
+    window fits in [slab - halo, slab + halo) qualifies (always true after a
+    bandwidth-reducing reorder; the builder falls back to `DistEll`
+    otherwise).  Column indices are rebased at setup so the gather runs on
+    the concatenated [left-halo | local | right-halo] extended vector with
+    no index arithmetic on the hot path.
+
+    Rectangular operators are supported: rows are sharded as ``nr_loc`` row
+    slabs while the input vector is sharded as ``nc_loc`` column slabs
+    (restriction/prolongation shard fine and coarse vectors differently).
+    """
+
+    data: jax.Array   # (K, b, b, nbr_loc)
+    cols: jax.Array   # (K, nbr_loc) — block cols into the extended window
+    n: int            # global column count (scalar)
+    nr_loc: int       # local rows (scalar)
+    nc_loc: int       # local input slab (scalar)
+    halo: int         # halo width in *block* units
     block: int
     axis: str
 
@@ -115,4 +153,61 @@ def dist_spmv(A, x_loc: jax.Array) -> jax.Array:
         y = jnp.einsum("kabn,knb->na", A.data, xg)
         return y.reshape(-1).astype(x_loc.dtype)
 
+    if isinstance(A, DistEllH):
+        K, b, _, nbr_loc = A.data.shape
+        dt = A.data.dtype
+        xc = x_loc.astype(dt)
+        H = A.halo * b           # halo in scalars
+        if H == 0:
+            x_ext = xc
+        else:
+            ndev = jax.lax.axis_size(A.axis)
+            right_perm = [(i, i + 1) for i in range(ndev - 1)]
+            left_perm = [(i + 1, i) for i in range(ndev - 1)]
+            from_left = jax.lax.ppermute(xc[-H:], A.axis, right_perm)
+            from_right = jax.lax.ppermute(xc[:H], A.axis, left_perm)
+            x_ext = jnp.concatenate([from_left, xc, from_right])
+        if b == 1:
+            xg = x_ext[A.cols]
+            y = jnp.sum(A.data[:, 0, 0, :] * xg, axis=0)
+            return y.astype(x_loc.dtype)
+        xb = x_ext.reshape(-1, b)
+        xg = xb[A.cols]
+        y = jnp.einsum("kabn,knb->na", A.data, xg)
+        return y.reshape(-1).astype(x_loc.dtype)
+
     raise TypeError(f"not a distributed matrix: {type(A)}")
+
+
+def dist_spectral_radius(A, dia_loc: jax.Array, axis: str, iters: int = 20,
+                         scale: bool = True) -> jax.Array:
+    """Power-method estimate of ρ(D⁻¹A) (or ρ(A) with scale=False) against
+    a distributed operator — runs inside shard_map; every SpMV rides the
+    halo exchange and every norm is a psum reduction.
+
+    The SPMD mirror of the reference's distributed spectral_radius
+    (amgcl/mpi/distributed_matrix.hpp:1109-1290), used by distributed
+    smoothed aggregation and Chebyshev setup.
+    """
+    n_loc = dia_loc.shape[0]
+    my = jax.lax.axis_index(axis)
+    # deterministic per-shard pseudo-random start (hash of global index)
+    gi = my * n_loc + jnp.arange(n_loc)
+    b0 = jnp.sin(gi.astype(dia_loc.dtype) * 12.9898) * 43758.5453
+    b0 = b0 - jnp.floor(b0) - 0.5
+    inv_d = jnp.where(dia_loc != 0, 1.0 / dia_loc, 0.0) if scale else None
+
+    def body(_, carry):
+        b, rho = carry
+        nrm = jnp.sqrt(jax.lax.psum(jnp.sum(b * b), axis))
+        b = b / nrm
+        Ab = dist_spmv(A, b)
+        if scale:
+            Ab = inv_d * Ab
+        rho = jax.lax.psum(jnp.sum(b * Ab), axis)
+        return Ab, rho
+
+    _, rho = jax.lax.fori_loop(
+        0, iters, body, (b0, jnp.zeros((), dtype=dia_loc.dtype))
+    )
+    return rho

@@ -66,6 +66,7 @@ class DistSolver:
         n_shards: int | None = None,
         dims: tuple | None = None,
         precond: str = "amg",
+        coarsening=None,
         relaxation=None,
         amg_params: AMGParams | None = None,
         solver_dtype=jnp.float64,
@@ -94,18 +95,28 @@ class DistSolver:
 
         # Per-shard local preconditioner on the diagonal blocks.
         if precond == "coupled_amg":
-            # True distributed hierarchy (mpi::amg role) — grid problems.
-            from .dist_amg import build_dist_grid_amg
+            # True distributed hierarchy (mpi::amg role): grid-aligned
+            # slab levels when dims are known, the general row-sharded
+            # hierarchy otherwise.
+            if dims is not None:
+                from .dist_amg import build_dist_grid_amg
 
-            if dims is None:
-                raise ValueError("coupled_amg requires grid dims")
-            dlv, tail, local_prm = build_dist_grid_amg(
-                A, dims, S, axis=axis, relaxation=relaxation,
-                params=amg_params, dtype=precond_dtype,
-            )
+                dlv, tail, local_prm = build_dist_grid_amg(
+                    A, dims, S, axis=axis, relaxation=relaxation,
+                    params=amg_params, dtype=precond_dtype,
+                )
+                self._precond_kind = "coupled_amg"
+            else:
+                from .dist_general import build_dist_general_amg
+
+                dlv, tail, local_prm = build_dist_general_amg(
+                    A, S, axis=axis, coarsening=coarsening,
+                    relaxation=relaxation, params=amg_params,
+                    dtype=precond_dtype,
+                )
+                self._precond_kind = "coupled_general"
             self.local_prm = local_prm
             self.levels_stacked = (dlv, tail)
-            self._precond_kind = "coupled_amg"
         elif precond == "amg":
             locals_ = []
             for s in range(S):
@@ -206,6 +217,13 @@ class DistSolver:
 
                 dlv, tail = levels
                 Pop = lambda r: dist_amg_apply(dlv, tail, r, local_prm, axis)
+            elif kind == "coupled_general":
+                from .dist_general import dist_general_apply
+
+                dlv, tail = levels
+                Pop = lambda r: dist_general_apply(
+                    dlv, tail, r, local_prm, axis
+                )
             elif kind == "amg":
                 lv = _unstack_tree(levels)
                 Pop = lambda r: amg_apply(lv, r, local_prm)
@@ -246,7 +264,7 @@ class DistSolver:
             x = qb + xt - (Einv.T @ w)[my] * jnp.ones_like(xt)
             return x, info
 
-        if kind == "coupled_amg":
+        if kind in ("coupled_amg", "coupled_general"):
             dlv, tail = self.levels_stacked
             levels_spec = (
                 jax.tree_util.tree_map(lambda _: P(axis), dlv),

@@ -75,6 +75,79 @@ def partition_ell(A: sp.csr_matrix, S: int, block: int = 1, dtype=jnp.float32):
     )
 
 
+def partition_ell_halo(M: sp.csr_matrix, S: int, block: int = 1,
+                       dtype=jnp.float32, max_halo_frac: float = 1.0):
+    """Window-local ELL partition for the `DistEllH` halo format.
+
+    Rows are split into S equal slabs; column indices are rebased to each
+    shard's window [slab_start - H, slab_end + H) where H (the halo, in
+    block units) is the smallest uniform width covering every off-slab
+    reference.  Returns (data (S,K,b,b,nbr_loc), cols (S,K,nbr_loc), H) or
+    None when H would exceed ``max_halo_frac * nbc_loc`` (the two-neighbour
+    exchange can only reach one slab away — fall back to all-gather then).
+
+    The host-side analogue of building the reference's comm_pattern
+    (amgcl/mpi/distributed_matrix.hpp:93-184), collapsed to two contiguous
+    slab exchanges by the windowed renumbering.
+    """
+    M = sp.csr_matrix(M)
+    nr, nc = M.shape
+    b = block
+    if nr % (S * b) or nc % (S * b):
+        return None
+    nbr_loc = nr // (S * b)
+    nbc_loc = nc // (S * b)
+
+    if b == 1:
+        rows = np.repeat(np.arange(nr, dtype=np.int64), np.diff(M.indptr))
+        bcols = M.indices.astype(np.int64)
+        shard_of = rows // nbr_loc
+    else:
+        B = sp.bsr_matrix(M, blocksize=(b, b))
+        B.sum_duplicates()
+        nbr = nr // b
+        rows = np.repeat(np.arange(nbr, dtype=np.int64), np.diff(B.indptr))
+        bcols = B.indices.astype(np.int64)
+        shard_of = rows // nbr_loc
+
+    # halo: worst off-window reach over all nnz
+    lo_reach = shard_of * nbc_loc - bcols            # >0 when col left of slab
+    hi_reach = bcols - ((shard_of + 1) * nbc_loc - 1)  # >0 when right of slab
+    H = int(max(lo_reach.max(initial=0), hi_reach.max(initial=0), 0))
+    if H > int(max_halo_frac * nbc_loc):
+        return None
+
+    datas, colss = [], []
+    K = 1
+    mats = []
+    for s in range(S):
+        Ms = M[s * nbr_loc * b : (s + 1) * nbr_loc * b]
+        Es = SparseMatrix.from_scipy(sp.csr_matrix(Ms), block=b, dtype=dtype)
+        mats.append(Es)
+        K = max(K, Es.width)
+    for s, Es in enumerate(mats):
+        d = np.asarray(Es.data)
+        c = np.asarray(Es.cols).astype(np.int64)
+        # padding entries carry col 0 / data 0: rebase them to the slab
+        # start so the window-local index stays in range for every shard.
+        pad_mask = (d == 0).all(axis=(1, 2))  # (K, nbr_loc)
+        c = np.where(pad_mask, s * nbc_loc, c)
+        c_local = c - s * nbc_loc + H
+        assert c_local.min() >= 0 and c_local.max() < nbc_loc + 2 * H
+        if Es.width < K:
+            d = np.pad(d, ((0, K - Es.width), (0, 0), (0, 0), (0, 0)))
+            c_local = np.pad(
+                c_local, ((0, K - Es.width), (0, 0)), constant_values=H
+            )
+        datas.append(d)
+        colss.append(c_local.astype(np.int32))
+    return (
+        jnp.asarray(np.stack(datas), dtype=dtype),
+        jnp.asarray(np.stack(colss)),
+        H,
+    )
+
+
 def make_dist_matrix(A: sp.csr_matrix, S: int, axis: str = "shard",
                      block: int = 1, dtype=jnp.float32):
     """Pick the distributed format (DIA slab-halo when viable, ELL

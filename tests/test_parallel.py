@@ -10,6 +10,7 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 import scipy.sparse as sp
 
 from amgcl_tpu.models.poisson import poisson3d, poisson2d
+from amgcl_tpu.precond.amg import AMGParams
 from amgcl_tpu.parallel import (
     DistSolver, make_dist_matrix, dist_spmv, pad_to_multiple,
 )
@@ -141,3 +142,93 @@ def test_coupled_dist_amg_matches_serial(S):
     r = rhs - A @ np.asarray(x, dtype=np.float64)
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
     assert int(i_dist.iters) == int(i_ser.iters)
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs multiple devices")
+@pytest.mark.parametrize("case", ["sa", "rs", "pad", "pmis"])
+def test_coupled_general_dist_amg(case):
+    """The *general* coupled distributed hierarchy (arbitrary matrices,
+    any coarsening — the mpi::amg + halo-ELL path) must reproduce the
+    serial iteration count exactly and converge through the padding and
+    all-gather fallback paths."""
+    from amgcl_tpu import make_solver
+    from amgcl_tpu.coarsening.ruge_stuben import RugeStuben
+    from amgcl_tpu.coarsening.smoothed_aggregation import SmoothedAggregation
+
+    n = 14 if case == "pad" else 16   # 14^3 = 2744, not divisible by 8
+    A, rhs = poisson3d(n)
+    coarsening = {
+        "sa": None,
+        "rs": RugeStuben(),
+        "pad": None,
+        "pmis": SmoothedAggregation(aggregates="pmis"),
+    }[case]
+
+    dist = DistSolver(
+        A, solver="cg", precond="coupled_amg", coarsening=coarsening,
+        n_shards=min(NDEV, 8), tol=1e-8, maxiter=100,
+        amg_params=AMGParams(coarse_enough=200),
+    )
+    x, info = dist(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+
+    if case != "pad":   # padding changes the hierarchy slightly
+        serial = make_solver(
+            A, solver="cg", tol=1e-8, maxiter=100, coarsening=coarsening,
+            amg_params=AMGParams(coarse_enough=200),
+        )
+        _, i_ser = serial(rhs)
+        assert int(info.iters) == int(i_ser.iters)
+
+
+def test_pmis_aggregates_contract():
+    """PMIS produces a valid aggregation: every non-removed node assigned,
+    ids dense in [0, count), aggregates connected to their root through
+    the strength graph within distance 2."""
+    from amgcl_tpu.coarsening.aggregates import pmis_aggregates
+
+    A, _ = poisson3d(12)
+    import scipy.sparse as sp
+
+    aggr = pmis_aggregates(sp.csr_matrix(A))
+    ids = aggr.id
+    assert (ids >= 0).all()            # Poisson has no lonely nodes
+    assert ids.max() + 1 == aggr.count
+    assert len(np.unique(ids[ids >= 0])) == aggr.count
+    # aggregates should be reasonably coarse (not singletons everywhere)
+    assert aggr.count < 0.6 * A.shape[0]
+
+
+def test_dist_spectral_radius():
+    """Distributed power-method spectral radius matches the serial one."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+    from amgcl_tpu.parallel.partition import make_dist_matrix
+    from amgcl_tpu.parallel.dist import dist_spectral_radius
+    from amgcl_tpu.coarsening.smoothed_aggregation import spectral_radius
+    import scipy.sparse as sp
+
+    n = 16
+    A, _ = poisson3d(n)
+    A = sp.csr_matrix(A)
+    S = min(NDEV, 4)
+    mesh = Mesh(np.array(jax.devices()[:S]), ("shard",))
+    arrs, make_local = make_dist_matrix(A, S, dtype=jnp.float64)
+    dia = jnp.asarray(A.diagonal())
+
+    def f(arrs, dia_loc):
+        arrs = tuple(a[0] for a in arrs)
+        M = make_local(arrs)
+        return dist_spectral_radius(M, dia_loc, "shard", iters=30)
+
+    rho = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(tuple(P("shard") for _ in arrs), P("shard")),
+            out_specs=P(), check_vma=False,
+        )
+    )(arrs, dia)
+    rho_ser = spectral_radius(A, power_iters=30)
+    assert abs(float(rho) - rho_ser) / rho_ser < 0.05
