@@ -52,6 +52,8 @@ class Solver:
         amg_params: AMGParams | None = None,
         **solver_params,
     ):
+        if hasattr(A, "tocsr") and not sp.issparse(A):
+            A = A.tocsr()   # e.g. adapter.CrsBuilder (assemble on demand)
         A = sp.csr_matrix(A)
         A.sort_indices()
         self.A_host = A

@@ -58,3 +58,37 @@ def solve(handle: int, rhs_addr: int, x_addr: int, n: int) -> tuple:
 
 def destroy(handle: int) -> None:
     _handles.pop(handle, None)
+
+
+def create_dist(n: int, ptr_addr: int, col_addr: int, val_addr: int,
+                n_shards: int, params_json: str) -> int:
+    """Distributed-solver constructor — the role of the reference's MPI C
+    binding amgcl_mpi_create (lib/amgcl_mpi.h:44-64), with the device mesh
+    standing in for the MPI communicator.  Config keys: solver.type/tol/
+    maxiter, precond.type ∈ {amg, coupled_amg, relaxation, dummy, cpr,
+    schur}, plus deflation: true for subdomain deflation."""
+    indptr = _view(ptr_addr, n + 1, ctypes.c_int64).copy()
+    nnz = int(indptr[-1])
+    indices = _view(col_addr, nnz, ctypes.c_int64).copy()
+    data = _view(val_addr, nnz, ctypes.c_double).copy()
+    A = sp.csr_matrix((data, indices.astype(np.int64), indptr), shape=(n, n))
+
+    from .parallel.dist_solver import DistSolver
+
+    config = json.loads(params_json) if params_json else {}
+    sol = dict(config.get("solver", {}))
+    prec = dict(config.get("precond", {}))
+    kw = dict(
+        solver=sol.pop("type", "cg"),
+        precond=prec.pop("type", "amg"),
+        n_shards=(n_shards or None),
+        deflation=bool(config.get("deflation", False)),
+        **sol,
+    )
+    if "cpr_block_size" in prec:
+        kw["cpr_block_size"] = int(prec.pop("cpr_block_size"))
+    S = DistSolver(A, **kw)
+    h = _next_id[0]
+    _next_id[0] += 1
+    _handles[h] = S
+    return h

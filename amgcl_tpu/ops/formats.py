@@ -266,11 +266,18 @@ class DiaMatrix:
 
 def _dia_analyze(A: sp.csr_matrix):
     """One pass over the pattern: (unique offsets, per-nnz diag index,
-    per-nnz row)."""
-    n = A.shape[0]
+    per-nnz row).  Offsets live in [-(n-1), m-1], so the unique set comes
+    from a bincount + flatnonzero (O(nnz + n + m)) instead of a full sort
+    — np.unique over tens of millions of entries dominates setup
+    otherwise."""
+    n, m = A.shape
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
     offs = A.indices.astype(np.int64) - rows
-    uniq, didx = np.unique(offs, return_inverse=True)
+    shifted = offs + (n - 1)                  # in [0, n+m-2]
+    cnt = np.bincount(shifted, minlength=n + m - 1)
+    uniq_sh = np.flatnonzero(cnt)
+    uniq = uniq_sh - (n - 1)
+    didx = np.searchsorted(uniq_sh, shifted)
     return uniq, didx, rows
 
 

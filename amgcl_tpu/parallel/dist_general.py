@@ -207,9 +207,7 @@ def _gen_cycle(dist_levels, tail, i, rhs, prm: AMGParams, axis: str):
         # Replicated tail: gather the (padded) residual, run the serial
         # cycle identically on every shard, scatter my slab back.
         r_full = jax.lax.all_gather(rhs, axis, tiled=True)
-        n_true = (
-            dist_levels[-1].nc_true if dist_levels else r_full.shape[0]
-        )
+        n_true = tail[0].A.shape[0]
         x_full = serial_cycle(tail, 0, r_full[:n_true], prm)
         pad = r_full.shape[0] - n_true
         if pad:

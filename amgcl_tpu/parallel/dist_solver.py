@@ -73,6 +73,10 @@ class DistSolver:
         precond_dtype=jnp.float32,
         axis: str = "shard",
         deflation: bool = False,
+        cpr_block_size: int = 0,
+        pprecond: dict | None = None,
+        pmask=None,
+        schur_params: dict | None = None,
         **solver_params,
     ):
         if mesh is None:
@@ -84,7 +88,34 @@ class DistSolver:
         self.S = S
 
         A = sp.csr_matrix(A)
-        A, _, self.n_true = pad_to_multiple(A, None, S)
+        self._n2o = None
+        if precond == "schur":
+            # Distributed Schur pressure correction (mpi::schur role):
+            # permute so each shard's slab is [its u rows | its p rows],
+            # making the split a static local slice.
+            from .dist_coupled import build_dist_schur
+
+            if pmask is None:
+                raise ValueError("precond='schur' requires pmask")
+            n_orig = A.shape[0]
+            sharded, replicated, schur_meta, new2old = build_dist_schur(
+                A, pmask, S, axis=axis, dtype=precond_dtype,
+                **(schur_params or {}),
+            )
+            nv = int((new2old < 0).sum())
+            A_ext = (
+                sp.block_diag([A, sp.eye(nv)], format="csr") if nv else A
+            )
+            idx = new2old.copy()
+            idx[idx < 0] = n_orig + np.arange(nv)
+            A = sp.csr_matrix(A_ext[idx][:, idx])
+            A.sort_indices()
+            self._n2o = new2old
+            self.levels_stacked = (sharded, replicated)
+            self._schur_meta = schur_meta
+            self._precond_kind = "schur"
+        pad_unit = S * cpr_block_size if precond == "cpr" else S
+        A, _, self.n_true = pad_to_multiple(A, None, pad_unit)
         n = A.shape[0]
         self.n = n
         n_loc = n // S
@@ -147,6 +178,21 @@ class DistSolver:
             self.local_prm = locals_[0].prm
             self.levels_stacked = _stack_trees([a.levels for a in locals_])
             self._precond_kind = "amg"
+        elif precond == "cpr":
+            # Distributed CPR (mpi::cpr role): distributed pressure AMG +
+            # sharded global smoother, reshape-local transfers.
+            from .dist_coupled import build_dist_cpr
+
+            if not cpr_block_size:
+                raise ValueError("precond='cpr' requires cpr_block_size")
+            sharded, replicated, cpr_meta, K_meta = build_dist_cpr(
+                A, S, block_size=cpr_block_size, axis=axis,
+                relaxation=relaxation, pprecond=pprecond,
+                dtype=precond_dtype,
+            )
+            self.levels_stacked = (sharded, replicated)
+            self._cpr_meta = (cpr_meta, K_meta)
+            self._precond_kind = "cpr"
         elif precond == "relaxation":
             relaxation = relaxation or rlx.SPAI0()
             from ..ops.formats import SparseMatrix
@@ -182,6 +228,8 @@ class DistSolver:
                 [(s_, m) for s_, m in zip(states, mats)]
             )
             self._precond_kind = "relaxation"
+        elif precond == "schur":
+            pass   # built above (needed the pre-padding matrix)
         elif precond == "dummy":
             self.levels_stacked = None
             self._precond_kind = "dummy"
@@ -206,6 +254,8 @@ class DistSolver:
         make_local = self.make_local
         kind = self._precond_kind
         local_prm = getattr(self, "local_prm", None)
+        cpr_meta_static = getattr(self, "_cpr_meta", None)
+        schur_meta_static = getattr(self, "_schur_meta", None)
         use_defl = deflation
 
         def shard_solve(arrs, levels, AZ, Einv, rhs_loc, x0_loc):
@@ -223,6 +273,21 @@ class DistSolver:
                 dlv, tail = levels
                 Pop = lambda r: dist_general_apply(
                     dlv, tail, r, local_prm, axis
+                )
+            elif kind == "cpr":
+                from .dist_coupled import dist_cpr_apply
+
+                sharded, replicated = levels
+                cpr_meta, K_meta = cpr_meta_static
+                Pop = lambda r: dist_cpr_apply(
+                    sharded, replicated, cpr_meta, K_meta, r, axis
+                )
+            elif kind == "schur":
+                from .dist_coupled import dist_schur_apply
+
+                sharded, replicated = levels
+                Pop = lambda r: dist_schur_apply(
+                    sharded, replicated, schur_meta_static, inner, r, axis
                 )
             elif kind == "amg":
                 lv = _unstack_tree(levels)
@@ -264,7 +329,7 @@ class DistSolver:
             x = qb + xt - (Einv.T @ w)[my] * jnp.ones_like(xt)
             return x, info
 
-        if kind in ("coupled_amg", "coupled_general"):
+        if kind in ("coupled_amg", "coupled_general", "cpr", "schur"):
             dlv, tail = self.levels_stacked
             levels_spec = (
                 jax.tree_util.tree_map(lambda _: P(axis), dlv),
@@ -295,6 +360,12 @@ class DistSolver:
     def __call__(self, rhs, x0=None):
         dt = self.arrs[0].dtype
         rhs = np.asarray(rhs, dtype=dt)
+        if self._n2o is not None:
+            # Schur shard-interleaved permutation (virtual dofs get 0).
+            rp = np.zeros(len(self._n2o), dtype=dt)
+            valid = self._n2o >= 0
+            rp[valid] = rhs[self._n2o[valid]]
+            rhs = rp
         pad = self.n - len(rhs)
         if pad:
             rhs = np.concatenate([rhs, np.zeros(pad, dtype=dt)])
@@ -308,4 +379,10 @@ class DistSolver:
         x, info = self._solve(
             self.arrs, self.levels_stacked, self.AZ, self.Einv, rhs_d, x0_d
         )
+        if self._n2o is not None:
+            xh = np.asarray(x)
+            valid = self._n2o >= 0
+            xo = np.empty(int(valid.sum()), dtype=xh.dtype)
+            xo[self._n2o[valid]] = xh[: len(self._n2o)][valid]
+            return xo, info
         return x[: self.n_true], info

@@ -49,18 +49,7 @@ class CPR:
         np_ = N // B
         self.n, self.B, self.np_ = n, B, np_
 
-        # Quasi-IMPES weights: first row of each inverted transposed
-        # diagonal block (cpr.hpp:245-259).
-        Kbsr = sp.bsr_matrix(K[:N, :N], blocksize=(B, B))
-        # diagonal blocks
-        D = np.zeros((np_, B, B))
-        indptr, indices = Kbsr.indptr, Kbsr.indices
-        for ip in range(np_):
-            for t in range(indptr[ip], indptr[ip + 1]):
-                if indices[t] == ip:
-                    D[ip] = Kbsr.data[t]
-                    break
-        W = np.linalg.inv(np.transpose(D, (0, 2, 1)))[:, 0, :]  # (np, B)
+        W = self.compute_weights(sp.csr_matrix(K[:N, :N]), B)  # (np, B)
 
         # Pressure system App = Fpp K Pcol (pressure col = dof 0 per block).
         rows = np.repeat(np.arange(np_), B)
@@ -79,6 +68,27 @@ class CPR:
         sprecond = sprecond or rlx.ILU0()
         self.S_state = sprecond.setup(K, self.K_dev)
         self.W_dev = jnp.asarray(W, dtype=dtype)
+
+    @staticmethod
+    def _block_diag(Kb: sp.bsr_matrix, np_: int):
+        """Vectorized (np, B, B) diagonal-block extraction."""
+        B = Kb.blocksize[0]
+        rows_b = np.repeat(np.arange(np_), np.diff(Kb.indptr))
+        hits = rows_b == Kb.indices
+        D = np.zeros((np_, B, B))
+        D[rows_b[hits]] = Kb.data[hits]
+        return D
+
+    def compute_weights(self, K: sp.csr_matrix, B: int) -> np.ndarray:
+        """Quasi-IMPES weights: first row of each inverted transposed
+        diagonal block (cpr.hpp:245-259)."""
+        np_ = K.shape[0] // B
+        Kb = sp.bsr_matrix(K, blocksize=(B, B))
+        Kb.sum_duplicates()
+        D = self._block_diag(Kb, np_)
+        sing = np.abs(np.linalg.det(D)) < 1e-300
+        D[sing] = np.eye(B)
+        return np.linalg.inv(np.transpose(D, (0, 2, 1)))[:, 0, :]
 
     def apply(self, r):
         dt = self.K_dev.dtype
@@ -104,12 +114,48 @@ class CPR:
 
 
 class CPRDrs(CPR):
-    """CPR with dynamic row sums (amgcl/preconditioner/cpr_drs.hpp:45):
-    weights additionally scaled by user weights / row-sum balancing."""
+    """CPR with dynamic row sums (amgcl/preconditioner/cpr_drs.hpp:45).
+
+    Instead of quasi-IMPES inversion, each scalar equation i of a block
+    row contributes weight delta_i ∈ {user weight, 0} to the pressure
+    reduction; delta_i is zeroed (for i > 0) when the equation's
+    own-pressure coupling is not diagonally dominant
+    (a_dia[i] < eps_dd · Σ|off-block pressure couplings|) or when the
+    pressure equation barely couples to variable i
+    (a_top[i] < eps_ps · |a_dia[0]|) — reference cpr_drs.hpp:305-322.
+    """
 
     def __init__(self, K, block_size, *, weights=None, eps_dd=0.2,
                  eps_ps=0.02, **kw):
-        # The drs variant damps quasi-IMPES weights where diagonal
-        # dominance fails; we implement the weighting hook.
         self._drs = dict(weights=weights, eps_dd=eps_dd, eps_ps=eps_ps)
         super().__init__(K, block_size, **kw)
+
+    def compute_weights(self, K: sp.csr_matrix, B: int) -> np.ndarray:
+        np_ = K.shape[0] // B
+        Kb = sp.bsr_matrix(K, blocksize=(B, B))
+        Kb.sum_duplicates()
+        rows_b = np.repeat(np.arange(np_), np.diff(Kb.indptr))
+        dia_hit = rows_b == Kb.indices
+
+        # a_dia[ip, i] = K[ip*B+i, ip*B+0] (own-pressure coupling)
+        D = self._block_diag(Kb, np_)
+        a_dia = D[:, :, 0]                                 # (np, B)
+        # a_off[ip, i] = Σ_{jp != ip} |K[ip*B+i, jp*B+0]|
+        off_vals = np.abs(Kb.data[~dia_hit][:, :, 0])      # (nnz_off, B)
+        a_off = np.zeros((np_, B))
+        np.add.at(a_off, rows_b[~dia_hit], off_vals)
+        # a_top[ip, c] = Σ_jp |K[ip*B+0, jp*B+c]| (pressure-equation row)
+        a_top = np.zeros((np_, B))
+        np.add.at(a_top, rows_b, np.abs(Kb.data[:, 0, :]))
+
+        W = (
+            np.asarray(self._drs["weights"], dtype=np.float64).reshape(np_, B)
+            if self._drs["weights"] is not None
+            else np.ones((np_, B))
+        )
+        eps_dd, eps_ps = self._drs["eps_dd"], self._drs["eps_ps"]
+        kill = (a_dia < eps_dd * a_off) | (
+            a_top < eps_ps * np.abs(a_dia[:, :1])
+        )
+        kill[:, 0] = False                                 # delta_0 survives
+        return np.where(kill, 0.0, W)

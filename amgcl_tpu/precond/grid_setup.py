@@ -198,10 +198,58 @@ def probe_coarse_operator(Mop, cdims, creach, dtype):
 # the builder
 # ----------------------------------------------------------------------
 
+def _probe_comps(cdims, creach):
+    """Static probe stencil: per-color coarse offsets and their per-dim
+    components, sorted by flat offset."""
+    import itertools
+
+    cstr = []
+    s = 1
+    for d in reversed(cdims):
+        cstr.append(s)
+        s *= d
+    cstr = cstr[::-1]
+    offs, comps = [], []
+    for comp in itertools.product(*[range(-r, r + 1) for r in creach]):
+        offs.append(sum(c * st for c, st in zip(comp, cstr)))
+        comps.append(comp)
+    order = np.argsort(offs)
+    return (
+        [offs[t] for t in order],
+        np.asarray([comps[t] for t in order], dtype=np.int32),
+    )
+
+
+def _device_extract(W, cdims, creach):
+    """On-device DIA extraction from the probe responses:
+    data[t, i] = M[i, i+off_t] = W[color(i + comp_t), i], masking off-grid
+    columns.  Only a (T,)-sized nonzero mask ever needs the host — the
+    coarse matrix data never leaves the device (the tunnelled-device
+    bottleneck is exactly this transfer)."""
+    strides = tuple(2 * r + 1 for r in creach)
+    nc = int(np.prod(cdims))
+    _, comps = _probe_comps(cdims, creach)
+    comps_d = jnp.asarray(comps)                     # (T, ndim)
+    coords = jnp.stack(
+        jnp.unravel_index(jnp.arange(nc), cdims)
+    ).astype(jnp.int32)                              # (ndim, nc)
+    xc = coords[None, :, :] + comps_d[:, :, None]    # (T, ndim, nc)
+    valid = jnp.ones(xc.shape[::2], dtype=bool)      # (T, nc)
+    col_color = jnp.zeros(xc.shape[::2], dtype=jnp.int32)
+    for i, (s, dim) in enumerate(zip(strides, cdims)):
+        col_color = col_color * s + xc[:, i, :] % s
+        valid &= (xc[:, i, :] >= 0) & (xc[:, i, :] < dim)
+    rows = jnp.arange(nc, dtype=jnp.int32)
+    data = jnp.where(valid, W[col_color, rows[None, :]], 0.0)  # (T, nc)
+    absmax = jnp.max(jnp.abs(data), axis=1)
+    return data, absmax
+
+
 def _make_level_builder(offsets, dims, cdims, creach, shape, nnz,
                         omega, eps, dtype):
-    """One jitted program per level: smoother S/Sᵀ + all probe applications
-    (compile count matters on remote/tunnelled devices)."""
+    """One jitted program per level: smoother S/Sᵀ + all probe
+    applications + on-device stencil extraction (compile count and
+    device→host traffic both matter on remote/tunnelled devices)."""
     strides = tuple(2 * r + 1 for r in creach)
     ncolors = int(np.prod(strides))
 
@@ -218,7 +266,9 @@ def _make_level_builder(offsets, dims, cdims, creach, shape, nnz,
             ),
             jnp.arange(ncolors),
         )
-        return S.data, St.data, W
+        data, absmax = _device_extract(W, cdims, creach)
+        nnz_c = jnp.sum((data != 0).astype(jnp.int32))
+        return S.data, St.data, data, absmax, nnz_c
 
     return build
 
@@ -259,7 +309,7 @@ def build_grid_hierarchy(
             A.offsets, dims, cdims, creach, A.shape, A.nnz,
             omega, eps, dtype,
         )
-        S_data, St_data, W = build(A.data)
+        S_data, St_data, data_all, absmax, nnz_c = build(A.data)
         eps *= 0.5
 
         S = DiaMatrix(data=S_data, offsets=A.offsets, shape=A.shape, nnz=A.nnz)
@@ -269,13 +319,16 @@ def build_grid_hierarchy(
 
         relax_state = _dia_relax_setup(relaxation, A)
 
-        data, offs = _extract_from_probes(np.asarray(W), cdims, creach)
+        # Only the (T,) nonzero mask and the nnz scalar cross the
+        # device→host boundary; the coarse data stays resident.
+        all_offs, _ = _probe_comps(cdims, creach)
+        keep = np.asarray(absmax) > 0
         nc = int(np.prod(cdims))
         Ac = DiaMatrix(
-            data=jnp.asarray(data, dtype=dtype),
-            offsets=offs,
+            data=data_all[np.flatnonzero(keep)],
+            offsets=tuple(int(o) for o, k in zip(all_offs, keep) if k),
             shape=(nc, nc),
-            nnz=int((np.abs(data) > 0).sum()),
+            nnz=int(nnz_c),
         )
         levels.append(Level(A=A, P=gt, R=gt, relax=relax_state,
                             coarse_inv=None))

@@ -9,7 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import SolveInfo, as_operator, as_precond, norm_of, stopping
+from .common import (SolveInfo, as_operator, as_precond, norm_of,
+                     progress_printer, stopping)
 from ..ops import blas1
 
 
@@ -23,6 +24,7 @@ def bicgstab(
     abstol=1e-30,
     maxiter=100,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)
@@ -33,6 +35,7 @@ def bicgstab(
     r = rhs - Aop(x)
     rhat = r
     res = norm(r)
+    progress = progress_printer(verbose)
     one = jnp.asarray(1.0, rhs.dtype)
     zero = jnp.zeros_like(rhs)
 
@@ -56,7 +59,9 @@ def bicgstab(
         omega = inner_product(t, s) / inner_product(t, t)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        return x, r, p, v, rho, alpha, omega, it + 1, norm(r)
+        res_new = norm(r)
+        progress(it + 1, res_new)
+        return x, r, p, v, rho, alpha, omega, it + 1, res_new
 
     st = (x, r, zero, zero, one, one, one, jnp.asarray(0, jnp.int32), res)
     x, r, *_, it, res = jax.lax.while_loop(cond, body, st)

@@ -29,6 +29,7 @@ def bicgstabl(
     maxiter=100,
     L=2,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)

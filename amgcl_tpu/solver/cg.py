@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import SolveInfo, as_operator, as_precond, norm_of, stopping
+from .common import (SolveInfo, as_operator, as_precond, norm_of,
+                     progress_printer, stopping)
 from ..ops import blas1
 
 
@@ -26,6 +27,7 @@ def cg(
     maxiter=100,
     ns_search=False,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     """ns_search: when rhs is zero, keep iterating from x0 toward a
     nullspace vector instead of returning zero (reference cg.hpp `ns_search`
@@ -56,8 +58,11 @@ def cg(
         alpha = rho / inner_product(q, p)
         x = x + alpha * p
         r = r - alpha * q
-        return x, r, p, rho, it + 1, norm(r)
+        res_new = norm(r)
+        progress(it + 1, res_new)
+        return x, r, p, rho, it + 1, res_new
 
+    progress = progress_printer(verbose)
     p0 = jnp.zeros_like(rhs)
     x, r, p, rho, it, res = jax.lax.while_loop(
         cond, body, (x, r, p0, one, jnp.asarray(0, jnp.int32), res)

@@ -60,3 +60,20 @@ def stopping(rhs, tol, abstol, inner):
     safe = jnp.where(norm_rhs > 0, norm_rhs, jnp.ones_like(norm_rhs))
     eps = jnp.maximum(tol * safe, jnp.asarray(abstol, rhs.dtype))
     return safe, eps
+
+
+def progress_printer(verbose: bool, every: int = 5):
+    """Residual trace hook (reference: cg.hpp:199-200 prints every 5
+    iterations under prm.verbose).  Returns a function usable inside
+    jitted loop bodies — a no-op unless verbose."""
+    if not verbose:
+        return lambda it, res: None
+
+    def _print(it, res):
+        jax.lax.cond(
+            it % every == 0,
+            lambda: jax.debug.print("iter {it}: resid {res}", it=it, res=res),
+            lambda: None,
+        )
+
+    return _print

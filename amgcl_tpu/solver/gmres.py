@@ -15,7 +15,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import SolveInfo, as_operator, as_precond, norm_of, stopping
+from .common import (SolveInfo, as_operator, as_precond, norm_of,
+                     progress_printer, stopping)
 from ..ops import blas1
 
 
@@ -43,9 +44,11 @@ def _solve_upper(H, g, j):
 
 
 def _gmres_impl(
-    Aop, Pop, rhs, x, *, tol, abstol, maxiter, m, inner_product, flexible
+    Aop, Pop, rhs, x, *, tol, abstol, maxiter, m, inner_product, flexible,
+    verbose=False,
 ):
     norm = norm_of(inner_product)
+    progress = progress_printer(verbose)
     n = rhs.shape[0]
     dtype = rhs.dtype
     norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
@@ -115,6 +118,7 @@ def _gmres_impl(
         # both variants use the stored preconditioned basis
         y = _solve_upper(H[:m, :], g, j)
         dx = Z.T @ y
+        progress(it_total, res)
         return x + dx, res, it_total
 
     def cond(st):
@@ -143,12 +147,13 @@ def gmres(
     maxiter=100,
     M=30,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     x = jnp.zeros_like(rhs) if x0 is None else x0
     return _gmres_impl(
         as_operator(A), as_precond(P), rhs, x,
         tol=tol, abstol=abstol, maxiter=maxiter, m=M,
-        inner_product=inner_product, flexible=False,
+        inner_product=inner_product, flexible=False, verbose=verbose,
     )
 
 
@@ -163,10 +168,11 @@ def fgmres(
     maxiter=100,
     M=30,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     x = jnp.zeros_like(rhs) if x0 is None else x0
     return _gmres_impl(
         as_operator(A), as_precond(P), rhs, x,
         tol=tol, abstol=abstol, maxiter=maxiter, m=M,
-        inner_product=inner_product, flexible=True,
+        inner_product=inner_product, flexible=True, verbose=verbose,
     )

@@ -31,6 +31,7 @@ def idrs(
     omega_angle=0.7,
     replacement=False,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)

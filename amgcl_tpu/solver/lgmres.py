@@ -32,6 +32,7 @@ def lgmres(
     M=30,
     K=3,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)

@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import SolveInfo, as_operator, as_precond, norm_of, stopping
+from .common import (SolveInfo, as_operator, as_precond, norm_of,
+                     progress_printer, stopping)
 from ..ops import blas1
 
 
@@ -25,6 +26,7 @@ def richardson(
     maxiter=100,
     damping=1.0,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)
@@ -33,6 +35,7 @@ def richardson(
     norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
     r = rhs - Aop(x)
     res = norm(r)
+    progress = progress_printer(verbose)
     w = jnp.asarray(damping, rhs.dtype)
 
     def cond(st):
@@ -43,7 +46,9 @@ def richardson(
         x, r, it, res = st
         x = x + w * Pop(r)
         r = rhs - Aop(x)
-        return x, r, it + 1, norm(r)
+        res_new = norm(r)
+        progress(it + 1, res_new)
+        return x, r, it + 1, res_new
 
     x, r, it, res = jax.lax.while_loop(
         cond, body, (x, r, jnp.asarray(0, jnp.int32), res)
@@ -61,6 +66,7 @@ def preonly(
     abstol=1e-30,
     maxiter=1,
     inner_product=blas1.inner_product,
+    verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)

@@ -41,6 +41,18 @@ int amgcl_tpu_solver_solve(
 
 void amgcl_tpu_solver_destroy(amgcl_tpu_handle h);
 
+/* Distributed solver over n_shards devices of the local mesh (the role
+ * of the reference's MPI C binding amgcl_mpi_create, lib/amgcl_mpi.h:
+ * 44-64; the device mesh replaces the MPI communicator).  n_shards = 0
+ * uses every visible device.  Solve/destroy via the same handle calls. */
+amgcl_tpu_handle amgcl_tpu_dist_solver_create(
+    int64_t n,
+    const int64_t *ptr,
+    const int64_t *col,
+    const double  *val,
+    int64_t n_shards,
+    const char    *params_json);
+
 #ifdef __cplusplus
 }
 #endif

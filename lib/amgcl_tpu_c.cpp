@@ -106,4 +106,34 @@ void amgcl_tpu_solver_destroy(amgcl_tpu_handle h)
     PyGILState_Release(st);
 }
 
+
+amgcl_tpu_handle amgcl_tpu_dist_solver_create(
+    int64_t n,
+    const int64_t *ptr,
+    const int64_t *col,
+    const double *val,
+    int64_t n_shards,
+    const char *params_json)
+{
+    std::lock_guard<std::mutex> guard(g_lock);
+    if (!ensure_python()) return -1;
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject *res = PyObject_CallMethod(
+        g_capi, "create_dist", "LLLLLs",
+        (long long)n,
+        (long long)(intptr_t)ptr,
+        (long long)(intptr_t)col,
+        (long long)(intptr_t)val,
+        (long long)n_shards,
+        params_json ? params_json : "");
+    amgcl_tpu_handle h = -2;
+    if (res) {
+        h = (amgcl_tpu_handle)PyLong_AsLongLong(res);
+        Py_DECREF(res);
+    } else {
+        PyErr_Print();
+    }
+    PyGILState_Release(st);
+    return h;
+}
 }  // extern "C"

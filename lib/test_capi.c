@@ -51,6 +51,20 @@ int main(void) {
            (long long)iters, error, rmax);
     amgcl_tpu_solver_destroy(h);
     if (rmax > 1e-5) { fprintf(stderr, "residual too large\n"); return 3; }
+    /* distributed solver (device-mesh role of the MPI C binding) */
+    amgcl_tpu_handle hd = amgcl_tpu_dist_solver_create(
+        n, ptr, col, val, 0,
+        "{\"solver\": {\"type\": \"cg\", \"tol\": 1e-8},"
+        " \"precond\": {\"type\": \"relaxation\"}}");
+    if (hd <= 0) { fprintf(stderr, "dist create failed\n"); return 4; }
+    for (int64_t i = 0; i < n; ++i) x[i] = 0.0;
+    rc = amgcl_tpu_solver_solve(hd, rhs, x, n, &iters, &error);
+    if (rc != 0 || error > 1e-6) {
+        fprintf(stderr, "dist solve failed: rc=%d err=%g\n", rc, error);
+        return 5;
+    }
+    amgcl_tpu_solver_destroy(hd);
+
     printf("OK\n");
     return 0;
 }

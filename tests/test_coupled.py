@@ -64,3 +64,68 @@ def test_deflated_solver():
     r = rhs - A @ np.asarray(x, dtype=np.float64)
     rel = np.linalg.norm(r) / np.linalg.norm(rhs)
     assert rel < 1e-7, f"rel={rel}, iters={int(info.iters)}"
+
+
+def test_cpr_drs():
+    """Dynamic-row-sum CPR (cpr_drs role): converges, and the weight
+    computation honours the dominance thresholds (saturated equations
+    with weak own-pressure coupling are dropped from the reduction)."""
+    from amgcl_tpu.precond.cpr import CPRDrs
+    import scipy.sparse as sp
+
+    A, rhs = reservoir2d(12)
+    P = CPRDrs(A, block_size=2)
+    S = make_solver(A, solver="bicgstab", precond=P, tol=1e-8, maxiter=400)
+    x, info = S(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+    # with eps_dd -> inf every non-pressure equation is killed
+    P2 = CPRDrs(A, block_size=2, eps_dd=1e30)
+    W = P2.compute_weights(sp.csr_matrix(A), 2)
+    assert (W[:, 0] == 1).all()
+
+    # user weights pass through
+    P3 = CPRDrs(A, block_size=2, weights=np.full(A.shape[0], 0.5))
+    W3 = P3.compute_weights(sp.csr_matrix(A), 2)
+    assert set(np.unique(W3)) <= {0.0, 0.5}
+
+
+def test_dist_cpr():
+    """Distributed CPR (mpi::cpr role) converges on the reservoir
+    problem with the pressure hierarchy sharded."""
+    import jax
+    from amgcl_tpu.parallel.dist_solver import DistSolver
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs multiple devices")
+    A, rhs = reservoir2d(16)
+    D = DistSolver(A, "bicgstab", precond="cpr", cpr_block_size=2,
+                   n_shards=4, tol=1e-8, maxiter=200)
+    x, info = D(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+
+def test_dist_schur_matches_serial():
+    """Distributed Schur pressure correction (mpi::schur role) matches
+    the serial iteration count (same operators, shard-interleaved
+    layout)."""
+    import jax
+    from amgcl_tpu.parallel.dist_solver import DistSolver
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs multiple devices")
+    A, rhs, pmask = stokes2d(10)
+    P = SchurPressureCorrection(A, pmask, approx_schur=True)
+    S = make_solver(A, solver="fgmres", precond=P, tol=1e-8, maxiter=200)
+    _, i_ser = S(rhs)
+
+    D = DistSolver(A, "fgmres", precond="schur", pmask=pmask, n_shards=4,
+                   tol=1e-8, maxiter=200)
+    x, i_dist = D(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+    assert abs(int(i_dist.iters) - int(i_ser.iters)) <= 2
