@@ -52,6 +52,50 @@ class Solver:
         amg_params: AMGParams | None = None,
         **solver_params,
     ):
+        from .ops.formats import DiaMatrix, from_scipy_auto
+
+        if isinstance(A, DiaMatrix):
+            # Device-resident input (e.g. assembled on-device with
+            # models.poisson.poisson3d_dia): zero host work, zero upload.
+            # Requires the device-side grid setup (GridAMG) or an
+            # already-built preconditioner object.
+            self.A_host = None
+            self.block = block
+            self.solver_params = solver_params
+            self.solver_name = solver
+            self._solver_fn = make_solver_fn(solver)
+            self.A_dev = A.astype(solver_dtype)
+            device_setup = solver_params.pop("device_setup", True)
+            if isinstance(precond, str):
+                if precond == "amg":
+                    from .coarsening.grid_aggregation import GridAggregation
+                    from .precond.grid_setup import GridAMG
+
+                    if not isinstance(coarsening, GridAggregation):
+                        raise ValueError(
+                            "device (DiaMatrix) input requires "
+                            "GridAggregation coarsening or a prebuilt "
+                            "preconditioner object"
+                        )
+                    self.precond = GridAMG(
+                        A.astype(precond_dtype), coarsening.dims,
+                        relaxation=relaxation, params=amg_params,
+                        dtype=precond_dtype,
+                        eps_strong=coarsening.eps_strong,
+                        relax_factor=coarsening.relax,
+                    )
+                elif precond == "dummy":
+                    self.precond = DummyPrecond(A, dtype=precond_dtype)
+                else:
+                    raise ValueError(
+                        f"device input supports precond='amg'/'dummy' or a "
+                        f"prebuilt object; got {precond!r}"
+                    )
+            else:
+                self.precond = precond
+            self._compiled = self._make_jitted()
+            return
+
         if hasattr(A, "tocsr") and not sp.issparse(A):
             A = A.tocsr()   # e.g. adapter.CrsBuilder (assemble on demand)
         A = sp.csr_matrix(A)
@@ -64,7 +108,6 @@ class Solver:
 
         # Outer operator in solver precision (true residuals at 1e-8 need
         # f64; the hierarchy below stays in f32).
-        from .ops.formats import from_scipy_auto
         self.A_dev = from_scipy_auto(A, block=block, dtype=solver_dtype)
 
         device_setup = solver_params.pop("device_setup", False)

@@ -216,6 +216,24 @@ class DiaMatrix:
         if _analysis is None:
             _analysis = _dia_analyze(A)
         uniq, didx, rows = _analysis
+        if A.nnz > 1_000_000 and n < 2**31:
+            # Large matrices: scatter on the device.  Index uploads are
+            # cheap; a host fancy-scatter over tens of millions of
+            # entries is not (and on tunnelled devices uploads are fast
+            # while downloads are ~100x slower — so build device-resident
+            # data from the raw triplets directly).
+            data = (
+                jnp.zeros((len(uniq), n), dtype=dtype)
+                .at[jnp.asarray(didx.astype(np.int32)),
+                    jnp.asarray(rows.astype(np.int32))]
+                .set(jnp.asarray(A.data, dtype=dtype))
+            )
+            return DiaMatrix(
+                data=data,
+                offsets=tuple(int(d) for d in uniq),
+                shape=(n, m),
+                nnz=int(A.nnz),
+            )
         data = np.zeros((len(uniq), n), dtype=np.dtype(dtype))
         # flat scatter (single pass, no float64 intermediate)
         data.reshape(-1)[didx * np.int64(n) + rows] = A.data

@@ -10,8 +10,13 @@ from ..ops.formats import SparseMatrix
 
 class DummyPrecond:
     def __init__(self, A, block=1, dtype=jnp.float32):
-        A = sp.csr_matrix(A)
-        self.A_dev = SparseMatrix.from_scipy(A, block=block, dtype=dtype)
+        from ..ops.formats import DiaMatrix
+
+        if isinstance(A, DiaMatrix):
+            self.A_dev = A.astype(dtype)
+        else:
+            A = sp.csr_matrix(A)
+            self.A_dev = SparseMatrix.from_scipy(A, block=block, dtype=dtype)
 
     def apply(self, r):
         return r

@@ -84,7 +84,10 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
     if stype not in SOLVERS:
         raise ValueError(f"unknown solver type {stype!r}")
     _check_keys(
-        sprm, {"tol", "abstol", "maxiter", "M", "damping"}, "solver"
+        sprm,
+        {"tol", "abstol", "maxiter", "M", "damping", "verbose", "L",
+         "delta", "s", "K", "ns_search", "omega"},
+        "solver",
     )
 
     pprm = dict(config.get("precond", {}))
@@ -108,7 +111,7 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
             _check_keys(
                 cprm,
                 {"eps_strong", "relax", "estimate_spectral_radius",
-                 "power_iters", "nullspace"},
+                 "power_iters", "nullspace", "aggregates"},
                 "precond.coarsening",
             )
             cprm.setdefault("block_size", block)
@@ -195,6 +198,28 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
             rp = dict(sprec)
             sprec = make_smoother(rp.pop("type", "ilu0"), **rp)
         P = CPR(
+            A, pprm.pop("block_size", block), sprecond=sprec,
+            dtype=precond_dtype, **pprm,
+        )
+        return Solver(
+            A, solver=stype, precond=P, solver_dtype=solver_dtype,
+            precond_dtype=precond_dtype, **sprm,
+        )
+
+    if pclass == "cpr_drs":
+        from .precond.cpr import CPRDrs
+
+        _check_keys(
+            pprm,
+            {"block_size", "active_rows", "pprecond", "sprecond",
+             "weights", "eps_dd", "eps_ps"},
+            "precond",
+        )
+        sprec = pprm.pop("sprecond", None)
+        if isinstance(sprec, dict):
+            rp = dict(sprec)
+            sprec = make_smoother(rp.pop("type", "ilu0"), **rp)
+        P = CPRDrs(
             A, pprm.pop("block_size", block), sprecond=sprec,
             dtype=precond_dtype, **pprm,
         )

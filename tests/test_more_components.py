@@ -112,3 +112,90 @@ def test_ns_search_zero_rhs():
     )
     assert np.isfinite(np.asarray(x)).all()
     assert float(jnp.linalg.norm(Ad.data)) > 0
+
+
+def test_poisson3d_dia_matches_host():
+    """Device-assembled DIA Poisson equals the host CSR generator."""
+    import numpy as np
+    import jax.numpy as jnp
+    from amgcl_tpu.models.poisson import poisson3d, poisson3d_dia
+
+    A, _ = poisson3d(8)
+    Ad, rhs = poisson3d_dia(8, dtype=jnp.float64)
+    diff = abs(Ad.to_scipy() - A)
+    assert diff.max() == 0
+    assert Ad.nnz == A.nnz
+
+
+def test_device_matrix_input():
+    """make_solver accepts a device DiaMatrix directly (zero host work)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from amgcl_tpu.models.poisson import poisson3d, poisson3d_dia
+    from amgcl_tpu.coarsening.grid_aggregation import GridAggregation
+    from amgcl_tpu import make_solver
+
+    n = 12
+    Ad, rhs = poisson3d_dia(n, dtype=jnp.float64)
+    S = make_solver(Ad, solver="cg", tol=1e-8, maxiter=100,
+                    coarsening=GridAggregation(dims=(n, n, n)))
+    x, info = S(np.asarray(rhs))
+    A, _ = poisson3d(n)
+    r = np.ones(A.shape[0]) - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.sqrt(A.shape[0]) < 1e-7
+
+
+def test_crs_builder():
+    """Assemble-on-demand builder (adapter::crs_builder role)."""
+    import numpy as np
+    from amgcl_tpu.adapter.crs_builder import CrsBuilder
+    from amgcl_tpu import make_solver
+
+    n = 64
+
+    def row(i):
+        cols, vals = [i], [2.0]
+        if i > 0:
+            cols.append(i - 1); vals.append(-1.0)
+        if i < n - 1:
+            cols.append(i + 1); vals.append(-1.0)
+        return cols, vals
+
+    B = CrsBuilder(n, row)
+    S = make_solver(B, solver="cg", precond="relaxation", tol=1e-8,
+                    maxiter=500)
+    rhs = np.ones(n)
+    x, info = S(rhs)
+    A = B.tocsr()
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_graph_partition():
+    """BFS graph-growing partition balances slabs and cuts the bandwidth
+    of a shuffled grid problem back to near-local."""
+    import numpy as np
+    import scipy.sparse as sp
+    from amgcl_tpu.models.poisson import poisson2d
+    from amgcl_tpu.parallel.graph_partition import (
+        partition_bfs, apply_partition, merge_small)
+
+    A, _ = poisson2d(16)
+    rng = np.random.default_rng(0)
+    p = rng.permutation(A.shape[0])
+    Pm = sp.csr_matrix((np.ones(len(p)), (np.arange(len(p)), p)),
+                       shape=A.shape)
+    Ashuf = (Pm @ A @ Pm.T).tocsr()
+
+    perm = partition_bfs(Ashuf, 4)
+    assert sorted(perm) == list(range(A.shape[0]))
+    B, inv = apply_partition(Ashuf, perm)
+    rows = np.repeat(np.arange(B.shape[0]), np.diff(B.indptr))
+    bw = int(np.abs(B.indices - rows).max())
+    rows0 = np.repeat(np.arange(Ashuf.shape[0]), np.diff(Ashuf.indptr))
+    bw0 = int(np.abs(Ashuf.indices - rows0).max())
+    assert bw < bw0  # reordering reduces the halo reach
+
+    assert merge_small(10_000, 8) == 8
+    assert merge_small(100, 8) == 1
+    assert merge_small(1024, 8, min_per_shard=256) == 4
