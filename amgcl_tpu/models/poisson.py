@@ -57,25 +57,31 @@ def poisson3d_dia(n: int, dtype="float32"):
     The device-native analogue of the reference's in-process assembly
     (tests/sample_problem.hpp:10-84); returns (DiaMatrix, rhs jnp array).
     """
+    import jax
     import jax.numpy as jnp
     from ..ops.formats import DiaMatrix
 
     N = n * n * n
-    idx = jnp.arange(N, dtype=jnp.int32)
-    i = idx // (n * n)
-    j = (idx // n) % n
-    k = idx % n
     offsets = (-n * n, -n, -1, 0, 1, n, n * n)
-    rows = [
-        jnp.where(i > 0, -1.0, 0.0),
-        jnp.where(j > 0, -1.0, 0.0),
-        jnp.where(k > 0, -1.0, 0.0),
-        jnp.full(N, 6.0),
-        jnp.where(k < n - 1, -1.0, 0.0),
-        jnp.where(j < n - 1, -1.0, 0.0),
-        jnp.where(i < n - 1, -1.0, 0.0),
-    ]
-    data = jnp.stack(rows).astype(dtype)
+
+    @jax.jit
+    def assemble():
+        idx = jnp.arange(N, dtype=jnp.int32)
+        i = idx // (n * n)
+        j = (idx // n) % n
+        k = idx % n
+        rows = [
+            jnp.where(i > 0, -1.0, 0.0),
+            jnp.where(j > 0, -1.0, 0.0),
+            jnp.where(k > 0, -1.0, 0.0),
+            jnp.full(N, 6.0),
+            jnp.where(k < n - 1, -1.0, 0.0),
+            jnp.where(j < n - 1, -1.0, 0.0),
+            jnp.where(i < n - 1, -1.0, 0.0),
+        ]
+        return jnp.stack(rows).astype(dtype)
+
+    data = assemble()
     nnz = N + 6 * N - 6 * n * n  # interior bonds counted once per side
     A = DiaMatrix(data=data, offsets=offsets, shape=(N, N), nnz=int(nnz))
     return A, jnp.ones(N, dtype=dtype)

@@ -31,14 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .formats import DiaMatrix
 
 
-def _kernel(offsets, L, T, n_pad, data_ref, xp_ref, y_ref, xwin, sem):
+def _kernel(offsets, L, T, data_ref, xp_ref, y_ref, xwin, sem):
     """One row tile: DMA the x window, then Σ_d data[d] ∘ shift(x, d).
     Buffers are (1, length)-shaped — TPU kernels want ≥2D operands."""
     i = pl.program_id(0)
-    start = i * T
-    # window [start, start + T + L + R) of the padded x
+    # window [i*T, i*T + T + L + R) of the padded x (start is 128-aligned
+    # because T is; L/R are rounded to the lane tiling by the wrapper)
     dma = pltpu.make_async_copy(
-        xp_ref.at[:, pl.ds(start, xwin.shape[1])], xwin, sem
+        xp_ref.at[:, pl.ds(i * T, xwin.shape[1])], xwin, sem
     )
     dma.start()
     dma.wait()
@@ -55,8 +55,10 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int = 8192,
     n, m = A.shape
     if n != m:
         raise ValueError("pallas DIA spmv supports square operators")
-    L = max(0, -min(A.offsets))
-    R = max(0, max(A.offsets))
+    # Halo paddings rounded to the 128-lane tiling so every DMA window
+    # starts and ends lane-aligned (Mosaic requires aligned HBM slices).
+    L = -(-max(0, -min(A.offsets)) // 128) * 128
+    R = -(-max(0, max(A.offsets)) // 128) * 128
     dt = A.data.dtype
     xc = x.astype(dt)
 
@@ -69,25 +71,22 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int = 8192,
     ntiles = n_pad // tile
     win = tile + L + R
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+    # Index maps return i32 explicitly: under jax_enable_x64 a literal 0
+    # traces as i64 and Mosaic rejects the mixed (i64, i32) index tuple.
+    _imap = lambda i: (jnp.int32(0), i)
+    y = pl.pallas_call(
+        partial(_kernel, A.offsets, L, tile),
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((len(A.offsets), tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),   # padded x stays in HBM
+            pl.BlockSpec((len(A.offsets), tile), _imap),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile), _imap),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), dt),
         scratch_shapes=[
             pltpu.VMEM((1, win), dt),
             pltpu.SemaphoreType.DMA,
         ],
-    )
-    y = pl.pallas_call(
-        partial(_kernel, A.offsets, L, tile, n_pad),
-        out_shape=jax.ShapeDtypeStruct((1, n_pad), dt),
-        grid_spec=grid_spec,
         interpret=interpret,
     )(data, xp)
     return y[0, :n].astype(x.dtype)

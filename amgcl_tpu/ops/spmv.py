@@ -14,6 +14,28 @@ import jax.numpy as jnp
 from .formats import SparseMatrix, DiaMatrix
 
 
+def _pallas_ok() -> bool:
+    """Use the Pallas streaming kernel on real TPU backends only (tests
+    force CPU, where interpret mode would be slower than the XLA path)."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
+
+
+_PALLAS_WINDOW_LIMIT = 4 << 20   # elements of x window per tile (VMEM)
+
+
+def _use_pallas(A: DiaMatrix, x: jax.Array) -> bool:
+    n, m = A.shape
+    if n != m or A.data.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    halo = max(max(A.offsets), -min(A.offsets), 0)
+    if 8192 + 2 * halo > _PALLAS_WINDOW_LIMIT:
+        return False
+    return _pallas_ok()
+
+
 def _spmv_dia(A: DiaMatrix, x: jax.Array) -> jax.Array:
     """Shift-based SpMV: D static slices of a zero-padded x, multiplied and
     accumulated — full-lane VPU work, no gathers, HBM-roofline on TPU."""
@@ -42,6 +64,10 @@ def spmv(A, x: jax.Array) -> jax.Array:
     (amgcl/backend/interface.hpp:434-443).
     """
     if isinstance(A, DiaMatrix):
+        if _use_pallas(A, x):
+            from .pallas_spmv import spmv_dia_pallas
+
+            return spmv_dia_pallas(A, x)
         return _spmv_dia(A, x)
     K, b, _, nb = A.data.shape
     out_dtype = x.dtype
