@@ -201,34 +201,31 @@ def _relax_apply(state, A: DistDia, rhs, x):
 
 def _restrict_local(lvl: DistGridLevel, St: DistDia, rf_loc):
     """Down ∘ Sᵀ with a slab-local box sum (the x-slab extent is even by
-    construction, so no cross-shard folding)."""
+    construction, so no cross-shard folding).  Folds run as MXU
+    contractions (see coarsening.grid_aggregation._axis_fold)."""
+    from ..coarsening.grid_aggregation import _axis_fold
+
     t = dist_spmv(St, rf_loc)
     fdims = lvl.fine_dims
     S_shards = lvl.n // St.n_loc
     loc_dims = (fdims[0] // S_shards,) + tuple(fdims[1:])
     x3 = t.reshape(loc_dims)
     for ax, fd in enumerate(loc_dims):
-        if fd % 2:
-            pad = [(0, 0)] * x3.ndim
-            pad[ax] = (0, 1)
-            x3 = jnp.pad(x3, pad)
-        shape = list(x3.shape)
-        shape[ax : ax + 1] = [shape[ax] // 2, 2]
-        x3 = x3.reshape(shape).sum(axis=ax + 1)
+        x3 = _axis_fold(x3, fd, (fd + 1) // 2, ax)
     return x3.reshape(-1)
 
 
 def _prolong_local(lvl: DistGridLevel, Sm: DistDia, xc_loc):
+    from ..coarsening.grid_aggregation import _axis_expand
+
     cdims = lvl.coarse_dims
     fdims = lvl.fine_dims
     S_shards = lvl.n // Sm.n_loc
     cloc = (cdims[0] // S_shards,) + tuple(cdims[1:])
     floc = (fdims[0] // S_shards,) + tuple(fdims[1:])
     x3 = xc_loc.reshape(cloc)
-    for ax, fd in enumerate(floc):
-        x3 = jnp.repeat(x3, 2, axis=ax)
-        if x3.shape[ax] != fd:
-            x3 = jax.lax.slice_in_dim(x3, 0, fd, axis=ax)
+    for ax, (fd, cd) in enumerate(zip(floc, cloc)):
+        x3 = _axis_expand(x3, fd, cd, ax)
     return dist_spmv(Sm, x3.reshape(-1))
 
 

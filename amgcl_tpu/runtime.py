@@ -86,7 +86,8 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
     _check_keys(
         sprm,
         {"tol", "abstol", "maxiter", "M", "damping", "verbose", "L",
-         "delta", "s", "K", "ns_search", "omega"},
+         "delta", "s", "K", "ns_search", "omega", "inner", "inner_tol",
+         "inner_maxiter"},
         "solver",
     )
 

@@ -8,6 +8,7 @@ from .gmres import gmres, fgmres
 from .lgmres import lgmres
 from .idrs import idrs
 from .richardson import richardson, preonly
+from .refine import refine
 
 SOLVERS = {
     "cg": cg,
@@ -19,6 +20,7 @@ SOLVERS = {
     "idrs": idrs,
     "richardson": richardson,
     "preonly": preonly,
+    "refine": refine,
 }
 
 

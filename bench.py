@@ -40,11 +40,17 @@ def main():
     assemble_s = time.time() - t0
 
     t0 = time.time()
+    # Mixed-precision driver: f32 CG+AMG inner solves, f64 defect
+    # correction outer — converges to the true-1e-8 residual (verified
+    # below in f64) with all Krylov arithmetic in f32.
     S = make_solver(
         A,
-        solver="cg",
+        solver="refine",
         tol=1e-8,
-        maxiter=100,
+        maxiter=25,
+        inner="cg",
+        inner_tol=1e-4,
+        inner_maxiter=50,
         coarsening=GridAggregation(dims=(n, n, n)),
     )
     setup_s = time.time() - t0

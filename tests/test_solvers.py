@@ -74,3 +74,25 @@ def test_x0_respected(spd_problem):
         Ad, None, rhs, jnp.asarray(x_exact), tol=1e-8, maxiter=50
     )
     assert int(info.iters) <= 1
+
+
+def test_refine_mixed_precision():
+    """Iterative refinement reaches true-f64 1e-8 residuals with f32
+    inner solves (a pure f32 Krylov solve stalls near 1e-7)."""
+    import jax.numpy as jnp
+    from amgcl_tpu import make_solver
+    from amgcl_tpu.models.poisson import poisson3d
+
+    A, rhs = poisson3d(16)
+    S = make_solver(A, solver="refine", tol=1e-10, maxiter=30,
+                    inner="cg", inner_tol=1e-4, inner_maxiter=50)
+    x, info = S(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    rel = np.linalg.norm(r) / np.linalg.norm(rhs)
+    assert rel < 1e-9, rel
+
+    S32 = make_solver(A, solver="cg", tol=1e-10, maxiter=200,
+                      solver_dtype=jnp.float32)
+    x32, _ = S32(rhs.astype(np.float32))
+    r32 = rhs - A @ np.asarray(x32, dtype=np.float64)
+    assert np.linalg.norm(r32) / np.linalg.norm(rhs) > rel  # f32 stalls
