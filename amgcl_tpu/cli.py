@@ -62,6 +62,15 @@ def main(argv=None):
     ap.add_argument("--grid", help="logical grid dims, e.g. 150,150,150 "
                     "(enables the structured fast path)")
     ap.add_argument("-P", "--params", help="JSON parameter file")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="solve distributed over N mesh devices (the role "
+                    "of the reference's examples/mpi/mpi_solver.cpp; 0 = "
+                    "serial)")
+    ap.add_argument("--dist-precond", default="coupled_amg",
+                    choices=["coupled_amg", "amg", "relaxation", "dummy"],
+                    help="distributed preconditioner class")
+    ap.add_argument("--deflation", action="store_true",
+                    help="subdomain deflation (distributed runs)")
     ap.add_argument("-o", "--output", help="write solution (.mtx/.bin)")
     ap.add_argument("prm", nargs="*", help="dotted key=value parameters")
     args = ap.parse_args(argv)
@@ -119,10 +128,26 @@ def main(argv=None):
             "nullspace"
         ] = B
 
-    with prof.scope("setup"):
-        S = make_solver_from_config(A, config)
+    if args.shards:
+        from .parallel.dist_solver import DistSolver
 
-    if hasattr(S.precond, "levels"):
+        sol = dict(config.get("solver", {}))
+        kw = dict(
+            solver=sol.pop("type", "cg"),
+            n_shards=args.shards,
+            precond=args.dist_precond,
+            deflation=args.deflation,
+            **sol,
+        )
+        if args.grid:
+            kw["dims"] = tuple(int(d) for d in args.grid.split(","))
+        with prof.scope("setup"):
+            S = DistSolver(A, **kw)
+    else:
+        with prof.scope("setup"):
+            S = make_solver_from_config(A, config)
+
+    if hasattr(getattr(S, "precond", None), "levels"):
         print(repr(S.precond))
         print()
 

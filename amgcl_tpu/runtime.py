@@ -87,7 +87,7 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
         sprm,
         {"tol", "abstol", "maxiter", "M", "damping", "verbose", "L",
          "delta", "s", "K", "ns_search", "omega", "inner", "inner_tol",
-         "inner_maxiter"},
+         "inner_maxiter", "precond_side"},
         "solver",
     )
 

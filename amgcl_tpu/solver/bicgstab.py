@@ -1,8 +1,10 @@
-"""BiCGStab with right preconditioning.
+"""BiCGStab with selectable preconditioning side.
 
-Capability parity with the reference (amgcl/solver/bicgstab.hpp:53, with
-precond_side — we implement the right-preconditioned form, the reference's
-default for nonsymmetric AMG use)."""
+Capability parity with the reference (amgcl/solver/bicgstab.hpp:53 and
+solver/precond_side.hpp:44): ``precond_side='right'`` (default) runs the
+flexible right-preconditioned form; ``'left'`` applies the same loop to
+the left-preconditioned system P(Ax) = P(rhs), converging in the
+preconditioned residual norm exactly as the reference's left mode."""
 
 from __future__ import annotations
 
@@ -24,10 +26,20 @@ def bicgstab(
     abstol=1e-30,
     maxiter=100,
     inner_product=blas1.inner_product,
+    precond_side: str = "right",
     verbose=False,
 ):
     Aop = as_operator(A)
     Pop = as_precond(P)
+    if precond_side == "left":
+        A_inner, P_inner = (lambda v: Pop(Aop(v))), (lambda v: v)
+        rhs = Pop(rhs)
+    elif precond_side == "right":
+        A_inner, P_inner = Aop, Pop
+    else:
+        raise ValueError(f"precond_side must be 'left'/'right', got "
+                         f"{precond_side!r}")
+    Aop, Pop = A_inner, P_inner
     norm = norm_of(inner_product)
     x = jnp.zeros_like(rhs) if x0 is None else x0
 
