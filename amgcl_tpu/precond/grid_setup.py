@@ -297,12 +297,17 @@ def build_grid_hierarchy(
         cdims = tuple((d + 1) // 2 for d in dims)
 
         rA = reach(A.offsets, dims)
-        # S shares A's offsets
-        fine_reach = tuple(3 * a for a in rA)
-        # coarse reach: overlap needs |2Δc| <= fine_reach + aggregate width-1
+        # Coarse stencil reach per axis: column c's fine support is its
+        # 2-cell box smeared by S then A then Sᵀ (each of reach rA, and S
+        # shares A's offsets), i.e. [2c - 2rA, 2c+1 + 2rA] against a row
+        # window [2c' - rA, 2c'+1 + rA]; overlap requires
+        # |2Δ| <= 1 + 3rA, so |Δ| <= (1 + 3rA)//2.  This is tight: rA=1
+        # gives the familiar 5-coloring (125 probes in 3D), rA=2 gives 7
+        # (343) — the previous (3rA+2)//2 bound over-colored rA=2 to 9
+        # (729), doubling probe work and compile size on coarse levels.
         creach = tuple(
-            max(1, min((fr + 2) // 2, cd - 1))
-            for fr, cd in zip(fine_reach, cdims)
+            max(1, min((1 + 3 * a) // 2, cd - 1))
+            for a, cd in zip(rA, cdims)
         )
 
         build = _make_level_builder(
