@@ -282,6 +282,100 @@ class DiaMatrix:
         return M
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "shape", "block", "nnz"],
+)
+@dataclasses.dataclass(frozen=True)
+class BlockDiaMatrix:
+    """Block-diagonal (block-DIA) storage: the block-value counterpart of
+    `DiaMatrix`.  data[k, :, :, i] is the b×b block coupling block-row i
+    to block-column i + offsets[k] (offsets in block units).
+
+    SpMV is D shifted batched b×b block products — zero gathers, unlike
+    the block-ELL path whose per-row gathers run ~60x off the HBM
+    roofline on TPU.  Selected automatically for banded block matrices
+    (grid elasticity, reordered mesh problems — the Serena-class
+    workloads of the reference's tutorial 2, docs/tutorial/Serena.rst).
+    """
+
+    data: jax.Array       # (D, b, b, nb)
+    offsets: tuple        # block-unit diagonals, sorted
+    shape: tuple          # scalar (n, m)
+    block: int
+    nnz: int
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def nbytes(self) -> int:
+        return self.data.size * self.data.dtype.itemsize
+
+    def astype(self, dtype) -> "BlockDiaMatrix":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+    @staticmethod
+    def from_scipy(A, block: int, dtype=jnp.float32) -> "BlockDiaMatrix":
+        B = sp.bsr_matrix(sp.csr_matrix(A), blocksize=(block, block))
+        B.sum_duplicates()
+        nb = B.shape[0] // block
+        rows = np.repeat(np.arange(nb, dtype=np.int64), np.diff(B.indptr))
+        offs = B.indices.astype(np.int64) - rows
+        shifted = offs + (nb - 1)
+        cnt = np.bincount(shifted, minlength=2 * nb - 1)
+        uniq_sh = np.flatnonzero(cnt)
+        didx = np.searchsorted(uniq_sh, shifted)
+        data = np.zeros((len(uniq_sh), block, block, nb), dtype=np.dtype(dtype))
+        data[didx, :, :, rows] = B.data
+        return BlockDiaMatrix(
+            data=jnp.asarray(data, dtype=dtype),
+            offsets=tuple(int(d) for d in (uniq_sh - (nb - 1))),
+            shape=A.shape,
+            block=block,
+            nnz=int(sp.csr_matrix(A).nnz),
+        )
+
+    def to_scipy(self) -> sp.csr_matrix:
+        D, b, _, nb = self.data.shape
+        data = np.asarray(self.data)
+        blocks, rows, cols = [], [], []
+        for k, d in enumerate(self.offsets):
+            i = np.arange(max(0, -d), min(nb, nb - d))
+            rows.append(i)
+            cols.append(i + d)
+            blocks.append(np.transpose(data[k][:, :, i], (2, 0, 1)))
+        order = np.argsort(np.concatenate(rows), kind="stable")
+        rows = np.concatenate(rows)[order]
+        cols = np.concatenate(cols)[order]
+        blocks = np.concatenate(blocks)[order]
+        indptr = np.concatenate([[0], np.cumsum(np.bincount(rows, minlength=nb))])
+        M = sp.bsr_matrix((blocks, cols, indptr), shape=self.shape).tocsr()
+        M.eliminate_zeros()
+        return M
+
+
+def block_dia_viable(A, block: int, max_diags: int | None = None) -> bool:
+    """Block-offset pattern compactness check (analogue of dia_viable)."""
+    B = sp.bsr_matrix(sp.csr_matrix(A), blocksize=(block, block))
+    nb = B.shape[0] // block
+    if nb == 0 or B.nnz == 0:
+        return False
+    rows = np.repeat(np.arange(nb, dtype=np.int64), np.diff(B.indptr))
+    offs = B.indices.astype(np.int64) - rows
+    nuniq = len(np.unique(offs))
+    K = int(np.diff(B.indptr).max())
+    if max_diags is None:
+        max_diags = max(48, 3 * K)
+    return nuniq <= max_diags
+
+
 def _dia_analyze(A: sp.csr_matrix):
     """One pass over the pattern: (unique offsets, per-nnz diag index,
     per-nnz row).  Offsets live in [-(n-1), m-1], so the unique set comes
@@ -327,6 +421,13 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
             limit = max_diags if max_diags is not None else max(48, 3 * K)
             if format == "dia" or len(uniq) <= limit:
                 return DiaMatrix.from_scipy(A, dtype=dtype, _analysis=analysis)
+    if block > 1 and format in ("auto", "block_dia"):
+        A = sp.csr_matrix(A)
+        if A.shape[0] and A.nnz and (
+            format == "block_dia"
+            or block_dia_viable(A, block, max_diags)
+        ):
+            return BlockDiaMatrix.from_scipy(A, block=block, dtype=dtype)
     return SparseMatrix.from_scipy(A, block=block, dtype=dtype)
 
 
@@ -340,6 +441,11 @@ def diagonal(A) -> jax.Array:
         if 0 in A.offsets:
             return A.data[A.offsets.index(0)]
         return jnp.zeros(A.shape[0], dtype=A.dtype)
+    if isinstance(A, BlockDiaMatrix):
+        nb = A.shape[0] // A.block
+        if 0 in A.offsets:
+            return jnp.transpose(A.data[A.offsets.index(0)], (2, 0, 1))
+        return jnp.zeros((nb, A.block, A.block), dtype=A.dtype)
     K, b, _, nb = A.data.shape
     rows = jnp.arange(nb)
     is_dia = (A.cols == rows[None, :])  # (K, nb)

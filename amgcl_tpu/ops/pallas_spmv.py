@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .formats import DiaMatrix
+from .formats import DiaMatrix, BlockDiaMatrix
 
 
 def _kernel(offsets, L, T, data_ref, xp_ref, y_ref, xwin, sem):
@@ -90,3 +90,72 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int = 8192,
         interpret=interpret,
     )(data, xp)
     return y[0, :n].astype(x.dtype)
+
+
+# ----------------------------------------------------------------------
+# block-DIA kernel
+# ----------------------------------------------------------------------
+
+def _block_kernel(offsets, L, T, b, bp, data_ref, xp_ref, y_ref, xwin, sem):
+    """One block-row tile: DMA the (bp, window) x planes once (bp = b
+    padded to the 8-sublane tiling), then apply every block diagonal as
+    unrolled b² lane-parallel multiply-adds."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        xp_ref.at[:, pl.ds(i * T, xwin.shape[1])], xwin, sem
+    )
+    dma.start()
+    dma.wait()
+    accs = [jnp.zeros((1, T), data_ref.dtype) for _ in range(b)]
+    for k, d in enumerate(offsets):
+        for a in range(b):
+            acc = accs[a]
+            for c in range(b):
+                seg = xwin[c, pl.ds(L + d, T)].reshape(1, T)
+                acc = acc + data_ref[k, a, c, :].reshape(1, T) * seg
+            accs[a] = acc
+    zero = jnp.zeros((1, T), data_ref.dtype)
+    y_ref[...] = jnp.concatenate(accs + [zero] * (bp - b), axis=0)
+
+
+def spmv_block_dia_pallas(A: BlockDiaMatrix, x: jax.Array, *,
+                          tile: int = 8192, interpret: bool = False):
+    """y = A @ x for block-DIA matrices with the streaming kernel: the x
+    planes enter VMEM once per row tile instead of once per diagonal."""
+    n, m = A.shape
+    if n != m:
+        raise ValueError("pallas block-DIA spmv supports square operators")
+    D, b, _, nb = A.data.shape
+    bp = -(-b // 8) * 8                            # sublane-tiled planes
+    L = -(-max(0, -min(A.offsets)) // 128) * 128
+    R = -(-max(0, max(A.offsets)) // 128) * 128
+    dt = A.data.dtype
+    xc = x.astype(dt).reshape(nb, b).T            # (b, nb)
+
+    nb_pad = ((nb + tile - 1) // tile) * tile
+    xp = jnp.pad(xc, ((0, bp - b), (L, R + (nb_pad - nb))))
+    data = (
+        jnp.pad(A.data, ((0, 0), (0, 0), (0, 0), (0, nb_pad - nb)))
+        if nb_pad != nb else A.data
+    )
+    ntiles = nb_pad // tile
+    win = tile + L + R
+
+    _imap4 = lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0), i)
+    _imap2 = lambda i: (jnp.int32(0), i)
+    y = pl.pallas_call(
+        partial(_block_kernel, A.offsets, L, tile, b, bp),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((D, b, b, tile), _imap4),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((bp, tile), _imap2),
+        out_shape=jax.ShapeDtypeStruct((bp, nb_pad), dt),
+        scratch_shapes=[
+            pltpu.VMEM((bp, win), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(data, xp)
+    return y[:b, :nb].T.reshape(-1).astype(x.dtype)
