@@ -103,3 +103,48 @@ def test_grid_hierarchy_all_dia():
     r = rhs - A @ np.asarray(x, dtype=np.float64)
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
     assert int(info.iters) <= 30
+
+
+def test_block_dia_matches_scipy():
+    """Block-DIA spmv/roundtrip exactness and auto-selection for banded
+    block matrices (the Serena-class fast path)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from amgcl_tpu.models.poisson import poisson3d_block
+    from amgcl_tpu.ops.formats import (
+        BlockDiaMatrix, block_dia_viable, from_scipy_auto)
+    from amgcl_tpu.ops.spmv import spmv
+
+    A, _ = poisson3d_block(8, block=3)
+    assert block_dia_viable(A, 3)
+    M = BlockDiaMatrix.from_scipy(A, block=3, dtype=jnp.float64)
+    x = np.random.default_rng(0).standard_normal(A.shape[0])
+    assert np.abs(np.asarray(spmv(M, jnp.asarray(x))) - A @ x).max() < 1e-12
+    rt = abs(M.to_scipy() - sp.csr_matrix(A))
+    assert (rt.max() if rt.nnz else 0.0) == 0.0
+    assert type(from_scipy_auto(A, block=3)).__name__ == "BlockDiaMatrix"
+
+    # diagonal() returns (nb, b, b)
+    from amgcl_tpu.ops.formats import diagonal
+    D = np.asarray(diagonal(M))
+    nb = A.shape[0] // 3
+    ref = sp.bsr_matrix(A, blocksize=(3, 3))
+    assert D.shape == (nb, 3, 3)
+
+
+def test_block_dia_pallas_interpret():
+    """The streaming block kernel matches the XLA path (interpret mode)."""
+    import jax.numpy as jnp
+    from amgcl_tpu.models.poisson import poisson3d_block
+    from amgcl_tpu.ops.formats import BlockDiaMatrix
+    from amgcl_tpu.ops.pallas_spmv import spmv_block_dia_pallas
+    from amgcl_tpu.ops.spmv import spmv
+
+    A, _ = poisson3d_block(6, block=2)
+    M = BlockDiaMatrix.from_scipy(A, block=2, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(A.shape[0]), jnp.float32
+    )
+    y1 = spmv_block_dia_pallas(M, x, tile=128, interpret=True)
+    y2 = spmv(M, x)
+    assert float(abs(y1 - y2).max()) < 1e-4
