@@ -74,6 +74,9 @@ def create_dist(n: int, ptr_addr: int, col_addr: int, val_addr: int,
     A = sp.csr_matrix((data, indices.astype(np.int64), indptr), shape=(n, n))
 
     from .parallel.dist_solver import DistSolver
+    from .coarsening import make_coarsening
+    from .relaxation import make_smoother
+    from .precond.amg import AMGParams
 
     config = json.loads(params_json) if params_json else {}
     sol = dict(config.get("solver", {}))
@@ -87,6 +90,25 @@ def create_dist(n: int, ptr_addr: int, col_addr: int, val_addr: int,
     )
     if "cpr_block_size" in prec:
         kw["cpr_block_size"] = int(prec.pop("cpr_block_size"))
+    if "dims" in prec:
+        kw["dims"] = tuple(int(d) for d in prec.pop("dims"))
+    if "coarsening" in prec:
+        cprm = dict(prec.pop("coarsening"))
+        kw["coarsening"] = make_coarsening(
+            cprm.pop("type", "smoothed_aggregation"), **cprm
+        )
+    if "relax" in prec:
+        rprm = dict(prec.pop("relax"))
+        kw["relaxation"] = make_smoother(rprm.pop("type", "spai0"), **rprm)
+    amg_keys = {k: prec.pop(k) for k in list(prec)
+                if k in {"coarse_enough", "direct_coarse", "max_levels",
+                         "npre", "npost", "ncycle", "pre_cycles"}}
+    if amg_keys:
+        kw["amg_params"] = AMGParams(**amg_keys)
+    if prec:
+        raise ValueError(
+            f"unsupported distributed precond parameter(s): {sorted(prec)}"
+        )
     S = DistSolver(A, **kw)
     h = _next_id[0]
     _next_id[0] += 1

@@ -67,7 +67,8 @@ def main(argv=None):
                     "of the reference's examples/mpi/mpi_solver.cpp; 0 = "
                     "serial)")
     ap.add_argument("--dist-precond", default="coupled_amg",
-                    choices=["coupled_amg", "amg", "relaxation", "dummy"],
+                    choices=["coupled_amg", "amg", "relaxation", "dummy",
+                             "cpr"],
                     help="distributed preconditioner class")
     ap.add_argument("--deflation", action="store_true",
                     help="subdomain deflation (distributed runs)")
@@ -130,8 +131,13 @@ def main(argv=None):
 
     if args.shards:
         from .parallel.dist_solver import DistSolver
+        from .coarsening import make_coarsening
+        from .relaxation import make_smoother
+        from .precond.amg import AMGParams
 
         sol = dict(config.get("solver", {}))
+        pprm = dict(config.get("precond", {}))
+        pprm.pop("class", None)
         kw = dict(
             solver=sol.pop("type", "cg"),
             n_shards=args.shards,
@@ -141,6 +147,30 @@ def main(argv=None):
         )
         if args.grid:
             kw["dims"] = tuple(int(d) for d in args.grid.split(","))
+            pprm.pop("coarsening", None)   # the dims kwarg drives the
+            # grid path; the injected grid_aggregation config is serial-only
+        elif "coarsening" in pprm:
+            cprm = dict(pprm.pop("coarsening"))
+            kw["coarsening"] = make_coarsening(
+                cprm.pop("type", "smoothed_aggregation"), **cprm
+            )
+        if "relax" in pprm:
+            rprm = dict(pprm.pop("relax"))
+            kw["relaxation"] = make_smoother(
+                rprm.pop("type", "spai0"), **rprm
+            )
+        if args.dist_precond == "cpr":
+            kw["cpr_block_size"] = int(pprm.pop("block_size", args.block_size))
+        amg_keys = {k: pprm.pop(k) for k in list(pprm)
+                    if k in {"coarse_enough", "direct_coarse", "max_levels",
+                             "npre", "npost", "ncycle", "pre_cycles"}}
+        if amg_keys:
+            kw["amg_params"] = AMGParams(**amg_keys)
+        if pprm:
+            raise ValueError(
+                f"unsupported distributed precond parameter(s): "
+                f"{sorted(pprm)}"
+            )
         with prof.scope("setup"):
             S = DistSolver(A, **kw)
     else:

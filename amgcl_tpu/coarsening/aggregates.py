@@ -144,9 +144,10 @@ def pmis_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08,
     NEG = np.int64(0)
 
     count = 0
-    # Each round decides at least the global undecided maximum, and in
-    # practice a constant fraction; bound the loop defensively.
-    for _ in range(200):
+    # Each round decides at least the global undecided maximum (so n
+    # rounds is a hard upper bound); in practice a constant fraction
+    # falls every round and termination takes O(log n).
+    for _ in range(max(200, n)):
         live = ids == UNDEFINED
         if not live.any():
             break

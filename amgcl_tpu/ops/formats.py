@@ -322,16 +322,11 @@ class BlockDiaMatrix:
         return dataclasses.replace(self, data=self.data.astype(dtype))
 
     @staticmethod
-    def from_scipy(A, block: int, dtype=jnp.float32) -> "BlockDiaMatrix":
-        B = sp.bsr_matrix(sp.csr_matrix(A), blocksize=(block, block))
-        B.sum_duplicates()
-        nb = B.shape[0] // block
-        rows = np.repeat(np.arange(nb, dtype=np.int64), np.diff(B.indptr))
-        offs = B.indices.astype(np.int64) - rows
-        shifted = offs + (nb - 1)
-        cnt = np.bincount(shifted, minlength=2 * nb - 1)
-        uniq_sh = np.flatnonzero(cnt)
-        didx = np.searchsorted(uniq_sh, shifted)
+    def from_scipy(A, block: int, dtype=jnp.float32,
+                   _analysis=None) -> "BlockDiaMatrix":
+        if _analysis is None:
+            _analysis = _block_dia_analyze(A, block)
+        B, uniq_sh, didx, rows, nb, nnz = _analysis
         data = np.zeros((len(uniq_sh), block, block, nb), dtype=np.dtype(dtype))
         data[didx, :, :, rows] = B.data
         return BlockDiaMatrix(
@@ -339,7 +334,7 @@ class BlockDiaMatrix:
             offsets=tuple(int(d) for d in (uniq_sh - (nb - 1))),
             shape=A.shape,
             block=block,
-            nnz=int(sp.csr_matrix(A).nnz),
+            nnz=nnz,
         )
 
     def to_scipy(self) -> sp.csr_matrix:
@@ -361,19 +356,37 @@ class BlockDiaMatrix:
         return M
 
 
-def block_dia_viable(A, block: int, max_diags: int | None = None) -> bool:
-    """Block-offset pattern compactness check (analogue of dia_viable)."""
-    B = sp.bsr_matrix(sp.csr_matrix(A), blocksize=(block, block))
+def _block_dia_analyze(A, block: int):
+    """One pass over the block pattern: (bsr, unique shifted offsets,
+    per-block diag index, per-block row, nb, scalar nnz)."""
+    A_csr = sp.csr_matrix(A)
+    B = sp.bsr_matrix(A_csr, blocksize=(block, block))
+    B.sum_duplicates()
     nb = B.shape[0] // block
+    rows = np.repeat(np.arange(nb, dtype=np.int64), np.diff(B.indptr))
+    shifted = (B.indices.astype(np.int64) - rows) + (nb - 1)
+    cnt = np.bincount(shifted, minlength=max(2 * nb - 1, 1))
+    uniq_sh = np.flatnonzero(cnt)
+    didx = np.searchsorted(uniq_sh, shifted)
+    return B, uniq_sh, didx, rows, nb, int(A_csr.nnz)
+
+
+def block_dia_viable(A, block: int, max_diags: int | None = None,
+                     _analysis=None) -> bool:
+    """Block-offset pattern compactness check (analogue of dia_viable).
+    Square operators only — the block-DIA spmv views x by the row block
+    count, so rectangular transfers must stay in ELL."""
+    if A.shape[0] != A.shape[1]:
+        return False
+    if _analysis is None:
+        _analysis = _block_dia_analyze(A, block)
+    B, uniq_sh, didx, rows, nb, _ = _analysis
     if nb == 0 or B.nnz == 0:
         return False
-    rows = np.repeat(np.arange(nb, dtype=np.int64), np.diff(B.indptr))
-    offs = B.indices.astype(np.int64) - rows
-    nuniq = len(np.unique(offs))
     K = int(np.diff(B.indptr).max())
     if max_diags is None:
         max_diags = max(48, 3 * K)
-    return nuniq <= max_diags
+    return len(uniq_sh) <= max_diags
 
 
 def _dia_analyze(A: sp.csr_matrix):
@@ -421,13 +434,17 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
             limit = max_diags if max_diags is not None else max(48, 3 * K)
             if format == "dia" or len(uniq) <= limit:
                 return DiaMatrix.from_scipy(A, dtype=dtype, _analysis=analysis)
-    if block > 1 and format in ("auto", "block_dia"):
+    if block > 1 and format in ("auto", "block_dia") \
+            and A.shape[0] == A.shape[1]:
         A = sp.csr_matrix(A)
-        if A.shape[0] and A.nnz and (
-            format == "block_dia"
-            or block_dia_viable(A, block, max_diags)
-        ):
-            return BlockDiaMatrix.from_scipy(A, block=block, dtype=dtype)
+        if A.shape[0] and A.nnz:
+            analysis = _block_dia_analyze(A, block)
+            if format == "block_dia" or block_dia_viable(
+                A, block, max_diags, _analysis=analysis
+            ):
+                return BlockDiaMatrix.from_scipy(
+                    A, block=block, dtype=dtype, _analysis=analysis
+                )
     return SparseMatrix.from_scipy(A, block=block, dtype=dtype)
 
 

@@ -357,24 +357,30 @@ class DistSolver:
             )
         )
 
+    def _to_internal(self, v, dt):
+        """Original-ordering vector → padded (and Schur-permuted) layout."""
+        v = np.asarray(v, dtype=dt)
+        if self._n2o is not None:
+            vp = np.zeros(len(self._n2o), dtype=dt)
+            valid = self._n2o >= 0
+            vp[valid] = v[self._n2o[valid]]
+            v = vp
+        pad = self.n - len(v)
+        if pad:
+            v = np.concatenate([v, np.zeros(pad, dtype=dt)])
+        return v
+
     def __call__(self, rhs, x0=None):
         dt = self.arrs[0].dtype
-        rhs = np.asarray(rhs, dtype=dt)
-        if self._n2o is not None:
-            # Schur shard-interleaved permutation (virtual dofs get 0).
-            rp = np.zeros(len(self._n2o), dtype=dt)
-            valid = self._n2o >= 0
-            rp[valid] = rhs[self._n2o[valid]]
-            rhs = rp
-        pad = self.n - len(rhs)
-        if pad:
-            rhs = np.concatenate([rhs, np.zeros(pad, dtype=dt)])
+        rhs = self._to_internal(rhs, dt)
         sh = NamedSharding(self.mesh, P(self.axis))
         rhs_d = jax.device_put(jnp.asarray(rhs), sh)
         x0_d = (
             jax.device_put(jnp.zeros_like(rhs_d), sh)
             if x0 is None
-            else jax.device_put(jnp.asarray(x0, dtype=dt), sh)
+            else jax.device_put(
+                jnp.asarray(self._to_internal(x0, dt)), sh
+            )
         )
         x, info = self._solve(
             self.arrs, self.levels_stacked, self.AZ, self.Einv, rhs_d, x0_d

@@ -42,22 +42,33 @@ def partition_bfs(A: sp.csr_matrix, S: int) -> np.ndarray:
     uv_ptr = 0
     from collections import deque
 
+    q = deque()
     while pos < n:
-        # next seed: lowest-degree unvisited node
-        while uv_ptr < n and visited[unvisited_order[uv_ptr]]:
-            uv_ptr += 1
-        seed = unvisited_order[uv_ptr]
-        q = deque([seed])
-        visited[seed] = True
-        while q and pos < n:
-            i = q.popleft()
-            order[pos] = i
-            pos += 1
-            for j in G.indices[G.indptr[i] : G.indptr[i + 1]]:
-                if not visited[j]:
-                    visited[j] = True
-                    q.append(j)
-    del target
+        # When a part fills up, restart the frontier from a fresh
+        # lowest-degree unplaced seed so each slab grows compactly from
+        # its own region (the graph-growing heuristic of the
+        # parmetis/ptscotch role) instead of inheriting the previous
+        # part's scattered frontier.  Nodes are marked placed at *pop*
+        # time, so dropping a frontier loses nothing (the queue may hold
+        # duplicates, skipped when already placed).
+        if pos % target == 0:
+            q.clear()
+        i = -1
+        while q:
+            cand = q.popleft()
+            if not visited[cand]:
+                i = cand
+                break
+        if i < 0:
+            while uv_ptr < n and visited[unvisited_order[uv_ptr]]:
+                uv_ptr += 1
+            i = int(unvisited_order[uv_ptr])
+        visited[i] = True
+        order[pos] = i
+        pos += 1
+        for j in G.indices[G.indptr[i] : G.indptr[i + 1]]:
+            if not visited[j]:
+                q.append(j)
     return order
 
 

@@ -154,6 +154,9 @@ class CPRDrs(CPR):
             else np.ones((np_, B))
         )
         eps_dd, eps_ps = self._drs["eps_dd"], self._drs["eps_ps"]
+        # a_dia is deliberately SIGNED (reference cpr_drs.hpp:283,314):
+        # an equation whose own-pressure coupling is negative is excluded
+        # from the reduction regardless of magnitude.
         kill = (a_dia < eps_dd * a_off) | (
             a_top < eps_ps * np.abs(a_dia[:, :1])
         )
