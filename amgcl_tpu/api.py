@@ -217,16 +217,26 @@ class Solver:
         """Re-solve with new coefficients on the same sparsity: rebuild the
         hierarchy reusing P/R (reference: make_solver::operator()(A,rhs,x),
         amgcl/make_solver.hpp:116-135)."""
-        from .ops.formats import from_scipy_auto
+        from .ops.formats import DiaMatrix, from_scipy_auto
+        from .precond.grid_setup import GridAMG
+
+        if isinstance(A_new, DiaMatrix):
+            self.A_dev = A_new.astype(self.A_dev.dtype)
+            if isinstance(self.precond, GridAMG):
+                self.precond.rebuild(A_new)
+                return self
+            raise NotImplementedError(
+                "device-matrix rebuild needs the GridAMG preconditioner"
+            )
         A = sp.csr_matrix(A_new)
         self.A_dev = from_scipy_auto(
             A, block=self.block, dtype=self.A_dev.dtype
         )
-        if isinstance(self.precond, AMG):
+        if isinstance(self.precond, (AMG, GridAMG)):
             self.precond.rebuild(A)
         else:
             raise NotImplementedError(
-                "rebuild is supported for the AMG preconditioner"
+                "rebuild is supported for the AMG preconditioners"
             )
         return self
 

@@ -245,13 +245,26 @@ def _device_extract(W, cdims, creach):
     return data, absmax
 
 
+def _probe_galerkin(A, gt, cdims, creach, dtype):
+    strides = tuple(2 * r + 1 for r in creach)
+    ncolors = int(np.prod(strides))
+    cid = _color_field(cdims, strides, dtype)
+    W = jax.lax.map(
+        lambda c: gt.restrict(
+            spmv(A, gt.prolong((cid == c).astype(dtype)))
+        ),
+        jnp.arange(ncolors),
+    )
+    data, absmax = _device_extract(W, cdims, creach)
+    nnz_c = jnp.sum((data != 0).astype(jnp.int32))
+    return data, absmax, nnz_c
+
+
 def _make_level_builder(offsets, dims, cdims, creach, shape, nnz,
                         omega, eps, dtype):
     """One jitted program per level: smoother S/Sᵀ + all probe
     applications + on-device stencil extraction (compile count and
     device→host traffic both matter on remote/tunnelled devices)."""
-    strides = tuple(2 * r + 1 for r in creach)
-    ncolors = int(np.prod(strides))
 
     @jax.jit
     def build(A_data):
@@ -259,18 +272,31 @@ def _make_level_builder(offsets, dims, cdims, creach, shape, nnz,
         S = dia_filtered_smoother(A, omega, eps)
         St = S.transpose()
         gt = GridTransfer(S=S, St=St, fine_dims=dims, coarse_dims=cdims)
-        cid = _color_field(cdims, strides, dtype)
-        W = jax.lax.map(
-            lambda c: gt.restrict(
-                spmv(A, gt.prolong((cid == c).astype(dtype)))
-            ),
-            jnp.arange(ncolors),
-        )
-        data, absmax = _device_extract(W, cdims, creach)
-        nnz_c = jnp.sum((data != 0).astype(jnp.int32))
+        data, absmax, nnz_c = _probe_galerkin(A, gt, cdims, creach, dtype)
         return S.data, St.data, data, absmax, nnz_c
 
     return build
+
+
+def _make_level_rebuilder(offsets, dims, cdims, creach, shape, nnz, dtype):
+    """Rebuild variant: reuse the existing transfer smoother S/Sᵀ and
+    re-probe the Galerkin coefficients for a matrix with new values —
+    the device-side analogue of amg::rebuild (amgcl/amg.hpp:229-269,
+    which reuses P/R wholesale)."""
+
+    @jax.jit
+    def rebuild(A_data, S_data, St_data):
+        A = DiaMatrix(data=A_data, offsets=offsets, shape=shape, nnz=nnz)
+        S = DiaMatrix(data=S_data, offsets=offsets, shape=shape, nnz=nnz)
+        St = DiaMatrix(
+            data=St_data, offsets=tuple(-d for d in reversed(offsets)),
+            shape=shape, nnz=nnz,
+        )
+        gt = GridTransfer(S=S, St=St, fine_dims=dims, coarse_dims=cdims)
+        data, absmax, nnz_c = _probe_galerkin(A, gt, cdims, creach, dtype)
+        return data, absmax, nnz_c
+
+    return rebuild
 
 
 def build_grid_hierarchy(
@@ -289,6 +315,7 @@ def build_grid_hierarchy(
     prm = params or AMGParams()
     relaxation = relaxation or rlx.SPAI0()
     levels = []
+    plan = []     # per-level rebuild info (amg::rebuild parity)
     dims = tuple(dims)
     eps = eps_strong
 
@@ -328,25 +355,45 @@ def build_grid_hierarchy(
         # device→host boundary; the coarse data stays resident.
         all_offs, _ = _probe_comps(cdims, creach)
         keep = np.asarray(absmax) > 0
+        keep_idx = np.flatnonzero(keep)
         nc = int(np.prod(cdims))
+        c_offs = tuple(int(o) for o, k in zip(all_offs, keep) if k)
         Ac = DiaMatrix(
-            data=data_all[np.flatnonzero(keep)],
-            offsets=tuple(int(o) for o, k in zip(all_offs, keep) if k),
+            data=data_all[keep_idx],
+            offsets=c_offs,
             shape=(nc, nc),
             nnz=int(nnz_c),
         )
         levels.append(Level(A=A, P=gt, R=gt, relax=relax_state,
                             coarse_inv=None))
+        plan.append(dict(
+            offsets=A.offsets, dims=dims, cdims=cdims, creach=creach,
+            shape=A.shape, nnz=A.nnz, keep_idx=keep_idx, c_offs=c_offs,
+            c_nnz=int(nnz_c), dtype=dtype,
+        ))
         A, dims = Ac, cdims
 
-    # coarsest: densify + invert (host numpy; the matrix is tiny)
-    Ah = A.to_scipy()
-    inv = np.linalg.inv(np.asarray(Ah.todense()))
+    # coarsest: densify + invert on device (the matrix is tiny; staying
+    # resident avoids a slow device→host pull on tunnelled setups)
     levels.append(
         Level(A=A, P=None, R=None, relax=None,
-              coarse_inv=jnp.asarray(inv, dtype=A.dtype))
+              coarse_inv=_dia_dense_inverse(A))
     )
-    return tuple(levels), prm
+    return tuple(levels), prm, plan
+
+
+def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
+    """Densify a (small) DIA matrix and invert it, all on device."""
+    n = A.shape[0]
+    dense = jnp.zeros((n, n), dtype=A.dtype)
+    rows = jnp.arange(n)
+    for k, d in enumerate(A.offsets):
+        cols = rows + d
+        ok = (cols >= 0) & (cols < n)
+        dense = dense.at[rows, jnp.clip(cols, 0, n - 1)].add(
+            jnp.where(ok, A.data[k], 0.0)
+        )
+    return jnp.linalg.inv(dense)
 
 
 class GridAMG:
@@ -369,10 +416,60 @@ class GridAMG:
         if A.dtype != jnp.dtype(dtype):
             A = A.astype(dtype)
         self.dtype = dtype
-        self.levels, self.prm = build_grid_hierarchy(
-            A, dims, params=params, relaxation=relaxation,
+        self.relaxation = relaxation or rlx.SPAI0()
+        self.levels, self.prm, self._plan = build_grid_hierarchy(
+            A, dims, params=params, relaxation=self.relaxation,
             relax_factor=relax_factor, eps_strong=eps_strong, dtype=dtype,
         )
+        self._rebuilders = None
+
+    def rebuild(self, A_new) -> "GridAMG":
+        """Reuse the transfer operators (S/Sᵀ and the grid maps) for a
+        matrix with the same sparsity but new coefficients — the
+        device-side analogue of amg::rebuild (amgcl/amg.hpp:229-269).
+        Runs entirely on device; with the per-level programs already
+        compiled this costs milliseconds, the 'warm restart' for
+        time-dependent problems."""
+        import dataclasses as _dc
+
+        if not isinstance(A_new, DiaMatrix):
+            A_new = DiaMatrix.from_scipy(A_new, dtype=self.dtype)
+        if A_new.dtype != jnp.dtype(self.dtype):
+            A_new = A_new.astype(self.dtype)
+        if self._rebuilders is None:
+            self._rebuilders = [
+                _make_level_rebuilder(
+                    pl["offsets"], pl["dims"], pl["cdims"], pl["creach"],
+                    pl["shape"], pl["nnz"], pl["dtype"],
+                )
+                for pl in self._plan
+            ]
+        A = A_new
+        new_levels = []
+        for lvl, pl, rb in zip(self.levels, self._plan, self._rebuilders):
+            if A.offsets != pl["offsets"]:
+                raise ValueError(
+                    "rebuild requires the same sparsity pattern "
+                    f"(level offsets changed: {len(A.offsets)} vs "
+                    f"{len(pl['offsets'])})"
+                )
+            relax = _dia_relax_setup(self.relaxation, A)
+            data_all, absmax, nnz_c = rb(A.data, lvl.P.S.data, lvl.P.St.data)
+            Ac = DiaMatrix(
+                data=data_all[pl["keep_idx"]],
+                offsets=pl["c_offs"],
+                shape=(int(np.prod(pl["cdims"])),) * 2,
+                nnz=pl["c_nnz"],
+            )
+            new_levels.append(_dc.replace(lvl, A=A, relax=relax))
+            A = Ac
+        new_levels.append(
+            _dc.replace(
+                self.levels[-1], A=A, coarse_inv=_dia_dense_inverse(A)
+            )
+        )
+        self.levels = tuple(new_levels)
+        return self
 
     def apply(self, r):
         from .amg import amg_apply

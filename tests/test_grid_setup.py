@@ -91,3 +91,35 @@ def test_grid_amg_device_smoothers(smoother):
     x, info = S(rhs)
     r = rhs - A @ np.asarray(x, dtype=np.float64)
     assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+
+
+def test_grid_rebuild_matches_fresh():
+    """Device-side GridAMG.rebuild (amg::rebuild role): reuse transfers,
+    re-probe coefficients — a rebuilt hierarchy must solve a scaled
+    problem as well as a freshly built one."""
+    import jax.numpy as jnp
+    from amgcl_tpu import make_solver
+    from amgcl_tpu.coarsening.grid_aggregation import GridAggregation
+    from amgcl_tpu.models.poisson import poisson3d
+
+    n = 14
+    A, rhs = poisson3d(n)
+    S = make_solver(A, solver="cg", tol=1e-8, maxiter=100, device_setup=True,
+                    coarsening=GridAggregation(dims=(n, n, n)))
+    _, i0 = S(rhs)
+
+    A2 = (2.5 * A).tocsr()
+    S.rebuild(A2)
+    x2, i2 = S(rhs)
+    r = rhs - A2 @ np.asarray(x2, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
+    # pure scaling leaves the preconditioned spectrum unchanged
+    assert abs(int(i2.iters) - int(i0.iters)) <= 1
+
+    # a genuinely different operator (anisotropy) still converges
+    import scipy.sparse as sp
+    A3 = (A + sp.diags(np.linspace(0.0, 3.0, A.shape[0]))).tocsr()
+    S.rebuild(A3)
+    x3, i3 = S(rhs)
+    r3 = rhs - A3 @ np.asarray(x3, dtype=np.float64)
+    assert np.linalg.norm(r3) / np.linalg.norm(rhs) < 1e-7
