@@ -128,3 +128,38 @@ def test_cli_convert(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     A2 = bin_read(tmp_path / "A.bin")
     assert abs(A - A2).max() < 1e-14
+
+
+def test_cli_distributed(tmp_path):
+    """--shards runs the distributed solve (mpi_solver.cpp role) and
+    honours precond parameters from the config."""
+    from amgcl_tpu.models.poisson import poisson3d
+
+    A, rhs = poisson3d(12)
+    mm_write(tmp_path / "A.mtx", A)
+    env = dict(
+        os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4",
+    )
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "amgcl_tpu.cli",
+         "-A", str(tmp_path / "A.mtx"), "--shards", "4",
+         "-o", str(tmp_path / "x.mtx"),
+         "precond.coarse_enough=100", "solver.tol=1e-8"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    x = mm_read(tmp_path / "x.mtx")
+    r = rhs - A @ np.asarray(x)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+    # unknown distributed precond key must error, not be dropped
+    bad = subprocess.run(
+        [sys.executable, "-m", "amgcl_tpu.cli",
+         "-A", str(tmp_path / "A.mtx"), "--shards", "4",
+         "precond.bogus=1"],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+    assert bad.returncode != 0
