@@ -49,12 +49,22 @@ def _kernel(offsets, L, T, data_ref, xp_ref, y_ref, xwin, sem):
     y_ref[...] = acc
 
 
-def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int = 8192,
+def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int | None = None,
                     interpret: bool = False) -> jax.Array:
-    """y = A @ x with the Pallas streaming kernel (square DIA matrices)."""
+    """y = A @ x with the Pallas streaming kernel (square DIA matrices).
+
+    tile=None auto-sizes the row tile: bigger tiles amortize the halo
+    re-reads (0.74 -> 0.44 ms at 150³/7 diagonals going 8K -> 128K rows),
+    bounded so the per-tile data block stays within a VMEM budget."""
     n, m = A.shape
     if n != m:
         raise ValueError("pallas DIA spmv supports square operators")
+    if tile is None:
+        # Scoped VMEM is 16MB total; keep the per-tile data block near
+        # 4MB so the window + output + pipelining fit alongside it.
+        budget = 4 << 20
+        tile = (budget // (len(A.offsets) * A.data.dtype.itemsize)) // 128 * 128
+        tile = int(max(8192, min(tile, 131072)))
     # Halo paddings rounded to the 128-lane tiling so every DMA window
     # starts and ends lane-aligned (Mosaic requires aligned HBM slices).
     L = -(-max(0, -min(A.offsets)) // 128) * 128
