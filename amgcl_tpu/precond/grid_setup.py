@@ -383,17 +383,28 @@ def build_grid_hierarchy(
 
 
 def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
-    """Densify a (small) DIA matrix and invert it, all on device."""
+    """Densify a (small) DIA matrix and invert it, all on device in ONE
+    program — eager per-diagonal updates would cost a dispatch round trip
+    each on tunnelled devices."""
     n = A.shape[0]
-    dense = jnp.zeros((n, n), dtype=A.dtype)
-    rows = jnp.arange(n)
-    for k, d in enumerate(A.offsets):
-        cols = rows + d
+    offsets = A.offsets
+
+    @jax.jit
+    def densify_inv(data):
+        offs = jnp.asarray(offsets)[:, None]              # (D, 1)
+        rows = jnp.arange(n)[None, :]                     # (1, n)
+        cols = rows + offs                                # (D, n)
         ok = (cols >= 0) & (cols < n)
-        dense = dense.at[rows, jnp.clip(cols, 0, n - 1)].add(
-            jnp.where(ok, A.data[k], 0.0)
+        flat = rows * n + jnp.clip(cols, 0, n - 1)
+        dense = (
+            jnp.zeros(n * n, dtype=data.dtype)
+            .at[flat.reshape(-1)]
+            .add(jnp.where(ok, data, 0.0).reshape(-1))
+            .reshape(n, n)
         )
-    return jnp.linalg.inv(dense)
+        return jnp.linalg.inv(dense)
+
+    return densify_inv(A.data)
 
 
 class GridAMG:
@@ -488,27 +499,45 @@ class GridAMG:
         return hierarchy_report(self)
 
 
+@partial(jax.jit, static_argnames=("dia_idx",))
+def _spai0_arrays(data, dia_idx):
+    dia = data[dia_idx]
+    row_sq = jnp.sum(data * data, axis=0)
+    return jnp.where(row_sq > 0, dia / jnp.where(row_sq == 0, 1.0, row_sq),
+                     1.0)
+
+
+@partial(jax.jit, static_argnames=("dia_idx",))
+def _jacobi_arrays(data, dia_idx):
+    dia = data[dia_idx]
+    return 1.0 / jnp.where(dia != 0, dia, 1.0)
+
+
+@jax.jit
+def _gershgorin(data):
+    return jnp.max(jnp.sum(jnp.abs(data), axis=0))
+
+
 def _dia_relax_setup(relaxation, A: DiaMatrix):
     """Device-side smoother state from DIA data (SPAI0, damped Jacobi,
-    Chebyshev); other smoothers fall back to a host round-trip."""
+    Chebyshev), each one jitted program per shape — eager op chains cost
+    a compile round trip apiece on tunnelled devices.  Other smoothers
+    fall back to a host round-trip."""
     from ..relaxation.spai0 import SPAI0, SPAI0State
     from ..relaxation.damped_jacobi import DampedJacobi, JacobiState
     from ..relaxation.chebyshev import Chebyshev, ChebyshevState
 
-    dia = A.data[A.offsets.index(0)]
-    safe = jnp.where(dia != 0, dia, 1.0)
+    dia_idx = A.offsets.index(0)
 
     if isinstance(relaxation, SPAI0):
-        row_sq = jnp.sum(A.data * A.data, axis=0)
-        m = jnp.where(row_sq > 0, dia / jnp.where(row_sq == 0, 1.0, row_sq), 1.0)
-        return SPAI0State(m=m)
+        return SPAI0State(m=_spai0_arrays(A.data, dia_idx))
     if isinstance(relaxation, DampedJacobi):
         return JacobiState(
-            inv_dia=1.0 / safe,
+            inv_dia=_jacobi_arrays(A.data, dia_idx),
             damping=jnp.asarray(relaxation.damping, A.dtype),
         )
     if isinstance(relaxation, Chebyshev) and not relaxation.scale:
-        rho = jnp.max(jnp.sum(jnp.abs(A.data), axis=0))
+        rho = _gershgorin(A.data)
         lo = rho * relaxation.lower
         hi = rho * relaxation.higher
         return ChebyshevState(
