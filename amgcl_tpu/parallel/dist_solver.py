@@ -123,6 +123,14 @@ class DistSolver:
         self.arrs, self.make_local = make_dist_matrix(
             A, S, axis=axis, dtype=solver_dtype
         )
+        # Mixed-precision refine: the inner Krylov runs against an f32
+        # copy of the distributed operator (same halo machinery).
+        if solver == "refine":
+            self.arrs32, self.make_local32 = make_dist_matrix(
+                A, S, axis=axis, dtype=jnp.float32
+            )
+        else:
+            self.arrs32 = ()
 
         # Per-shard local preconditioner on the diagonal blocks.
         if precond == "coupled_amg":
@@ -258,10 +266,16 @@ class DistSolver:
         schur_meta_static = getattr(self, "_schur_meta", None)
         use_defl = deflation
 
-        def shard_solve(arrs, levels, AZ, Einv, rhs_loc, x0_loc):
+        make_local32 = getattr(self, "make_local32", None)
+        is_refine = solver == "refine"
+
+        def shard_solve(arrs, arrs32, levels, AZ, Einv, rhs_loc, x0_loc):
             arrs = tuple(a[0] for a in arrs)
             A_local = make_local(arrs)
             Aop = lambda v: dist_spmv(A_local, v)
+            if is_refine:
+                A32_local = make_local32(tuple(a[0] for a in arrs32))
+                solver_params["A32"] = lambda v: dist_spmv(A32_local, v)
             if kind == "coupled_amg":
                 from .dist_amg import dist_amg_apply
 
@@ -319,6 +333,13 @@ class DistSolver:
                 )
 
             A_defl = lambda v: proj(Aop(v))
+            if is_refine:
+                A32_base = solver_params["A32"]
+                # proj's deflation factors live in solver precision; keep
+                # the inner solve's dtype stable across the projection.
+                solver_params["A32"] = (
+                    lambda v: proj(A32_base(v)).astype(v.dtype)
+                )
             xt, info = solver_fn(
                 A_defl, Pop, proj(rhs_loc), x0_loc,
                 inner_product=inner, **solver_params,
@@ -341,6 +362,7 @@ class DistSolver:
             )
         in_specs = (
             tuple(P(axis) for _ in self.arrs),
+            tuple(P(axis) for _ in self.arrs32),
             levels_spec,
             P(axis),
             P(),
@@ -383,7 +405,8 @@ class DistSolver:
             )
         )
         x, info = self._solve(
-            self.arrs, self.levels_stacked, self.AZ, self.Einv, rhs_d, x0_d
+            self.arrs, self.arrs32, self.levels_stacked, self.AZ, self.Einv,
+            rhs_d, x0_d
         )
         if self._n2o is not None:
             xh = np.asarray(x)

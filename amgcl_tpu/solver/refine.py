@@ -40,6 +40,7 @@ def refine(
     inner_maxiter=50,
     inner_product=blas1.inner_product,
     inner_dot=None,
+    A32=None,
     verbose=False,
 ):
     """Outer defect-correction in the rhs dtype (use f64) around an f32
@@ -54,7 +55,8 @@ def refine(
     from . import make_solver_fn
 
     Aop = as_operator(A)
-    A32 = A.astype(jnp.float32) if hasattr(A, "astype") else A
+    if A32 is None:
+        A32 = A.astype(jnp.float32) if hasattr(A, "astype") else A
     inner_fn = make_solver_fn(inner)
     norm = norm_of(inner_product)
     if inner_dot is None:

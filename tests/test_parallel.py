@@ -232,3 +232,25 @@ def test_dist_spectral_radius():
     )(arrs, dia)
     rho_ser = spectral_radius(A, power_iters=30)
     assert abs(float(rho) - rho_ser) / rho_ser < 0.05
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs multiple devices")
+def test_dist_refine_mixed_precision():
+    """Mixed-precision iterative refinement over the mesh: f32 inner
+    Krylov against the f32 distributed operator, f64 defect correction —
+    reaches true-f64 accuracy (an f32-only distributed solve stalls)."""
+    n = 16
+    A, rhs = poisson3d(n)
+    D = DistSolver(A, "refine", precond="coupled_amg", n_shards=4,
+                   tol=1e-9, maxiter=20, inner="cg", inner_tol=1e-4,
+                   inner_maxiter=50)
+    x, info = D(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-8
+
+    # composes with subdomain deflation
+    D2 = DistSolver(A, "refine", precond="amg", dims=(n, n, n),
+                    n_shards=4, tol=1e-9, maxiter=20, deflation=True)
+    x2, _ = D2(rhs)
+    r2 = rhs - A @ np.asarray(x2, dtype=np.float64)
+    assert np.linalg.norm(r2) / np.linalg.norm(rhs) < 1e-8
