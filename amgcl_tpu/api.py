@@ -50,6 +50,7 @@ class Solver:
         coarsening=None,
         relaxation=None,
         amg_params: AMGParams | None = None,
+        matrix_format: str = "auto",
         **solver_params,
     ):
         from .ops.formats import DiaMatrix, from_scipy_auto
@@ -108,7 +109,8 @@ class Solver:
 
         # Outer operator in solver precision (true residuals at 1e-8 need
         # f64; the hierarchy below stays in f32).
-        self.A_dev = from_scipy_auto(A, block=block, dtype=solver_dtype)
+        self.A_dev = from_scipy_auto(A, block=block, dtype=solver_dtype,
+                                     format=matrix_format)
 
         device_setup = solver_params.pop("device_setup", False)
         if isinstance(precond, str):

@@ -13,8 +13,11 @@ not ICI).
 Usage: python benchmarks/scaling.py [base_nx] [shard_counts...]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
