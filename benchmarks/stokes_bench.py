@@ -1,0 +1,66 @@
+"""Saddle-point benchmark — the role of the reference's Stokes tutorial
+(docs/tutorial/Stokes.rst: monolithic AMG 270 iters / 8.60 s vs Schur
+pressure correction 35 iters / 3.41 s vs mixed 2.13 s on ucube-554k).
+
+Compares, on a synthetic Stokes-like system:
+  * one-level relaxation preconditioning (the naive baseline),
+  * Schur pressure correction (approx_schur + SIMPLEC diagonal),
+on a single chip with honest scalar-forced timing.
+
+Usage: python benchmarks/stokes_bench.py [n]   (velocity grid n x n)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_amgcl")
+    import jax.numpy as jnp
+    from amgcl_tpu.models.coupled import stokes2d
+    from amgcl_tpu.precond.schur import SchurPressureCorrection
+    from amgcl_tpu import make_solver
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    A, rhs, pmask = stokes2d(n)
+    print(f"# stokes2d({n}): {A.shape[0]} dof ({int(pmask.sum())} pressure)")
+
+    def run(label, build, maxiter):
+        t0 = time.time()
+        S = build()
+        setup = time.time() - t0
+        rj = jnp.asarray(rhs)
+        x0 = jnp.zeros_like(rj)
+        x, info = S._compiled(rj, x0)
+        it = int(info.iters)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            x, info = S._compiled(rj, x0)
+            _ = int(info.iters)
+            ts.append(time.time() - t0)
+        r = rhs - A @ np.asarray(x, dtype=np.float64)
+        rel = np.linalg.norm(r) / np.linalg.norm(rhs)
+        print(f"{label:26s} iters={it:4d} solve={min(ts):.4f}s "
+              f"rel={rel:.1e} setup={setup:.1f}s")
+
+    run("fgmres + relaxation",
+        lambda: make_solver(A, solver="fgmres", precond="relaxation",
+                            tol=1e-8, maxiter=600, M=60),
+        600)
+    run("fgmres + Schur PC",
+        lambda: make_solver(
+            A, solver="fgmres", tol=1e-8, maxiter=200,
+            precond=SchurPressureCorrection(A, pmask, approx_schur=True),
+        ),
+        200)
+
+
+if __name__ == "__main__":
+    main()
