@@ -47,10 +47,15 @@ def reservoir2d(n: int, seed: int = 0):
     saturation transport-like, offdiagonal coupling."""
     P, _ = poisson2d(n)
     N = P.shape[0]
-    # pressure rows: poisson on p + weak coupling to own s
-    # saturation rows: identity-dominant + coupling to own p
+    # pressure rows: poisson on p (+ compressibility mass term) + weak
+    # coupling to own s; saturation rows: identity-dominant + weak
+    # coupling to own p.  The couplings are sized so the quasi-IMPES
+    # pressure system stays uniformly elliptic: App ∝ 2(P + 0.3 I) −
+    # 0.01 I — with the original (0.5 p-coupling, no mass term) values
+    # App ∝ 2P − 0.25 I went indefinite once the Poisson spectrum's low
+    # end (≈ 2π²/n²) dropped below 0.125, i.e. for any n ≳ 13.
     Ep = sp.kron(P, np.array([[1.0, 0.0], [0.0, 0.0]]))
-    Es = sp.kron(sp.eye(N), np.array([[0.0, 0.2], [0.5, 2.0]]))
+    Es = sp.kron(sp.eye(N), np.array([[0.3, 0.2], [0.1, 2.0]]))
     # weak neighbour coupling in saturation
     Et = sp.kron(P - sp.diags(P.diagonal()), np.array([[0.0, 0.0], [0.0, 0.05]]))
     A = sp.csr_matrix(Ep + Es + Et)
