@@ -11,26 +11,39 @@ from .poisson import poisson2d
 
 
 def stokes2d(n: int, eps: float = 1e-2, seed: int = 0):
-    """Stabilized Stokes-like saddle-point system.
+    """Stabilized equal-order Stokes saddle-point system on an n×n grid.
 
-    Velocity block = 2 stacked 2D Poissons; B = sparse divergence-like
-    coupling; pressure block = -eps·I (stabilization).  Returns
+    Velocity block = 2 stacked 2D Poissons (u_x, u_y); B = structured
+    discrete gradient (each pressure node couples to the ±x neighbours
+    of u_x and ±y neighbours of u_y with ∓1/2 — central differences);
+    pressure block = -eps·I (equal-order stabilization).  Returns
     (A, rhs, pmask) with pressure dofs last."""
+    del seed  # deterministic structured coupling
     K1, _ = poisson2d(n)
     nu1 = K1.shape[0]
     K = sp.block_diag([K1, K1], format="csr")
     nu = 2 * nu1
-    npr = nu1 // 2
+    npr = nu1
 
-    rng = np.random.default_rng(seed)
-    # Divergence-ish: each pressure couples to a handful of velocities.
+    idx = np.arange(nu1)
+    i, j = idx // n, idx % n
     rows, cols, vals = [], [], []
-    for j in range(npr):
-        picks = rng.choice(nu, size=4, replace=False)
-        rows.extend(picks)
-        cols.extend([j] * 4)
-        vals.extend([1.0, -1.0, 1.0, -1.0])
-    B = sp.coo_matrix((vals, (rows, cols)), shape=(nu, npr)).tocsr()
+    # ∂/∂x on the u_x block
+    for d, s in ((-1, -0.5), (1, 0.5)):
+        m = (i + d >= 0) & (i + d < n)
+        rows.append(idx[m] + d * n)          # u_x dof (first block)
+        cols.append(idx[m])
+        vals.append(np.full(m.sum(), s))
+    # ∂/∂y on the u_y block
+    for d, s in ((-1, -0.5), (1, 0.5)):
+        m = (j + d >= 0) & (j + d < n)
+        rows.append(nu1 + idx[m] + d)        # u_y dof (second block)
+        cols.append(idx[m])
+        vals.append(np.full(m.sum(), s))
+    B = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nu, npr),
+    ).tocsr()
 
     C = -eps * sp.eye(npr)
     A = sp.bmat([[K, B], [B.T, C]], format="csr")

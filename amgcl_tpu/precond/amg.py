@@ -132,7 +132,20 @@ class AMG:
                 break
             A_dev = from_scipy_auto(A, block=blk, dtype=self.dtype)
             relax_state = self.relaxation.setup(A, A_dev)
-            P, R = self.coarsening.transfer_operators(A)
+            try:
+                P, R = self.coarsening.transfer_operators(A)
+            except RuntimeError:
+                # No aggregates could be formed (e.g. a diagonal or
+                # fully-decoupled matrix — the reference throws
+                # error::empty_level, amgcl/util.hpp:207).  Terminate the
+                # hierarchy here; the smoother alone is exact for the
+                # decoupled case.
+                levels.append(
+                    Level(A=A_dev, P=None, R=None, relax=relax_state,
+                          coarse_inv=None)
+                )
+                self._host_ops.append((A, None, None))
+                return tuple(levels)
             if P.shape[1] == 0:
                 # Nothing left to coarsen — stop here with what we have.
                 levels.append(
