@@ -39,3 +39,59 @@ def hierarchy_report(amg) -> str:
             f" ({frac:5.2f}%)"
         )
     return "\n".join(lines)
+
+
+def bandwidth_report(solver, rhs=None, repeats: int = 5) -> str:
+    """Per-solve effective-bandwidth roofline report.
+
+    The reference publishes wall times only; on TPU the honest efficiency
+    metric is bytes-moved / time against the HBM roofline (the pluggable
+    perf-counter role of amgcl/perf_counter/).  Estimates the bytes one
+    preconditioned Krylov iteration must move (operator + hierarchy data
+    once per cycle stage, vectors per op) and divides by the measured
+    per-iteration time.  Timing forces a scalar fetch — async dispatch
+    otherwise misreports on tunnelled devices.
+    """
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+
+    A = solver.A_dev
+    rhs = (
+        jnp.ones(A.shape[0], dtype=A.dtype)
+        if rhs is None else jnp.asarray(rhs, dtype=A.dtype)
+    )
+    x0 = jnp.zeros_like(rhs)
+    x, info = solver._compiled(rhs, x0)
+    iters = max(int(info.iters), 1)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        x, info = solver._compiled(rhs, x0)
+        _ = int(info.iters)
+        best = min(best, time.time() - t0)
+
+    vec = A.shape[0] * jnp.dtype(A.dtype).itemsize
+    per_iter = A.nbytes + 5 * vec          # Krylov: 1 SpMV + dots/axpbys
+    levels = getattr(solver.precond, "levels", None)
+    if levels is not None:
+        prm = solver.precond.prm
+        sweeps = prm.npre + prm.npost + 1  # pre+post sweeps + residual
+        for l in levels:
+            lv = l.A.shape[0] * jnp.dtype(l.A.dtype).itemsize
+            per_iter += prm.ncycle * (sweeps * (l.A.nbytes + 2 * lv))
+            if l.P is not None and hasattr(l.P, "nbytes"):
+                per_iter += prm.ncycle * (l.P.nbytes + l.R.nbytes)
+            if l.coarse_inv is not None:
+                per_iter += (
+                    l.coarse_inv.size * l.coarse_inv.dtype.itemsize
+                )
+
+    t_iter = best / iters
+    gbs = per_iter / t_iter / 1e9
+    return (
+        f"solve: {best:.4f} s, {iters} iterations "
+        f"({t_iter*1e3:.2f} ms/iter)\n"
+        f"estimated traffic/iter: {per_iter/1e6:.1f} MB -> "
+        f"effective {gbs:.0f} GB/s"
+    )

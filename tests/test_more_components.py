@@ -199,3 +199,15 @@ def test_graph_partition():
     assert merge_small(10_000, 8) == 8
     assert merge_small(100, 8) == 1
     assert merge_small(1024, 8, min_per_shard=256) == 4
+
+
+def test_bandwidth_report():
+    """Roofline observability: the report runs and contains GB/s."""
+    from amgcl_tpu import make_solver
+    from amgcl_tpu.models.poisson import poisson3d
+    from amgcl_tpu.utils.report import bandwidth_report
+
+    A, rhs = poisson3d(12)
+    S = make_solver(A, solver="cg", tol=1e-8, maxiter=100)
+    rep = bandwidth_report(S, rhs, repeats=2)
+    assert "GB/s" in rep and "iterations" in rep
