@@ -31,20 +31,38 @@ from jax.experimental.pallas import tpu as pltpu
 from .formats import DiaMatrix, BlockDiaMatrix
 
 
-def _kernel(offsets, L, T, data_ref, xp_ref, y_ref, xwin, sem):
-    """One row tile: DMA the x window, then Σ_d data[d] ∘ shift(x, d).
-    Buffers are (1, length)-shaped — TPU kernels want ≥2D operands."""
+def _kernel(offsets, L, T, ntiles, data_ref, xp_ref, y_ref,
+            xwin, sems):
+    """One row tile: Σ_d data[d] ∘ shift(x, d) out of a VMEM x window.
+
+    The window DMA is double-buffered: tile i issues the copy for tile
+    i+1 before computing, so the x transfer hides behind the diagonal
+    multiply-adds (the data blocks are pipelined by pallas itself).
+    Windows are (1, length)-shaped — TPU kernels want ≥2D operands;
+    window starts are 128-aligned because T is and L/R are rounded."""
     i = pl.program_id(0)
-    # window [i*T, i*T + T + L + R) of the padded x (start is 128-aligned
-    # because T is; L/R are rounded to the lane tiling by the wrapper)
-    dma = pltpu.make_async_copy(
-        xp_ref.at[:, pl.ds(i * T, xwin.shape[1])], xwin, sem
-    )
-    dma.start()
-    dma.wait()
+    win = xwin.shape[2]
+    two = jnp.int32(2)
+
+    def copy(tile, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[:, pl.ds(tile * T, win)],
+            xwin.at[slot], sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        copy(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(i + 1 < ntiles)
+    def _prefetch():
+        copy(i + 1, jax.lax.rem(i + 1, two)).start()
+
+    slot = jax.lax.rem(i, two)
+    copy(i, slot).wait()
     acc = jnp.zeros((1, T), data_ref.dtype)
     for k, d in enumerate(offsets):
-        seg = xwin[:, pl.ds(L + d, T)]
+        seg = xwin[slot, :, pl.ds(L + d, T)]
         acc = acc + data_ref[k, :].reshape(1, T) * seg
     y_ref[...] = acc
 
@@ -85,7 +103,7 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int | None = None,
     # traces as i64 and Mosaic rejects the mixed (i64, i32) index tuple.
     _imap = lambda i: (jnp.int32(0), i)
     y = pl.pallas_call(
-        partial(_kernel, A.offsets, L, tile),
+        partial(_kernel, A.offsets, L, tile, ntiles),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((len(A.offsets), tile), _imap),
@@ -94,8 +112,8 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int | None = None,
         out_specs=pl.BlockSpec((1, tile), _imap),
         out_shape=jax.ShapeDtypeStruct((1, n_pad), dt),
         scratch_shapes=[
-            pltpu.VMEM((1, win), dt),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 1, win), dt),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(data, xp)
