@@ -124,22 +124,37 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int | None = None,
 # block-DIA kernel
 # ----------------------------------------------------------------------
 
-def _block_kernel(offsets, L, T, b, bp, data_ref, xp_ref, y_ref, xwin, sem):
-    """One block-row tile: DMA the (bp, window) x planes once (bp = b
-    padded to the 8-sublane tiling), then apply every block diagonal as
-    unrolled b² lane-parallel multiply-adds."""
+def _block_kernel(offsets, L, T, b, bp, ntiles, data_ref, xp_ref, y_ref,
+                  xwin, sems):
+    """One block-row tile: double-buffered DMA of the (bp, window) x
+    planes (bp = b padded to the 8-sublane tiling), then every block
+    diagonal as unrolled b² lane-parallel multiply-adds."""
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        xp_ref.at[:, pl.ds(i * T, xwin.shape[1])], xwin, sem
-    )
-    dma.start()
-    dma.wait()
+    win = xwin.shape[2]
+    two = jnp.int32(2)
+
+    def copy(tile, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[:, pl.ds(tile * T, win)],
+            xwin.at[slot], sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _first():
+        copy(jnp.int32(0), jnp.int32(0)).start()
+
+    @pl.when(i + 1 < ntiles)
+    def _prefetch():
+        copy(i + 1, jax.lax.rem(i + 1, two)).start()
+
+    slot = jax.lax.rem(i, two)
+    copy(i, slot).wait()
     accs = [jnp.zeros((1, T), data_ref.dtype) for _ in range(b)]
     for k, d in enumerate(offsets):
         for a in range(b):
             acc = accs[a]
             for c in range(b):
-                seg = xwin[c, pl.ds(L + d, T)].reshape(1, T)
+                seg = xwin[slot, c, pl.ds(L + d, T)].reshape(1, T)
                 acc = acc + data_ref[k, a, c, :].reshape(1, T) * seg
             accs[a] = acc
     zero = jnp.zeros((1, T), data_ref.dtype)
@@ -172,7 +187,7 @@ def spmv_block_dia_pallas(A: BlockDiaMatrix, x: jax.Array, *,
     _imap4 = lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0), i)
     _imap2 = lambda i: (jnp.int32(0), i)
     y = pl.pallas_call(
-        partial(_block_kernel, A.offsets, L, tile, b, bp),
+        partial(_block_kernel, A.offsets, L, tile, b, bp, ntiles),
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((D, b, b, tile), _imap4),
@@ -181,8 +196,8 @@ def spmv_block_dia_pallas(A: BlockDiaMatrix, x: jax.Array, *,
         out_specs=pl.BlockSpec((bp, tile), _imap2),
         out_shape=jax.ShapeDtypeStruct((bp, nb_pad), dt),
         scratch_shapes=[
-            pltpu.VMEM((bp, win), dt),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bp, win), dt),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(data, xp)
