@@ -68,8 +68,10 @@ def main(argv=None):
                     "serial)")
     ap.add_argument("--dist-precond", default="coupled_amg",
                     choices=["coupled_amg", "amg", "relaxation", "dummy",
-                             "cpr"],
+                             "cpr", "schur"],
                     help="distributed preconditioner class")
+    ap.add_argument("--pmask", help="pressure-mask file (0/1 per dof) for "
+                    "--dist-precond schur")
     ap.add_argument("--deflation", action="store_true",
                     help="subdomain deflation (distributed runs)")
     ap.add_argument("-o", "--output", help="write solution (.mtx/.bin)")
@@ -161,6 +163,11 @@ def main(argv=None):
             )
         if args.dist_precond == "cpr":
             kw["cpr_block_size"] = int(pprm.pop("block_size", args.block_size))
+        if args.dist_precond == "schur":
+            if not args.pmask:
+                raise ValueError("--dist-precond schur requires --pmask")
+            pm = np.asarray(_load(args.pmask)).ravel()
+            kw["pmask"] = pm.astype(bool)
         amg_keys = {k: pprm.pop(k) for k in list(pprm)
                     if k in {"coarse_enough", "direct_coarse", "max_levels",
                              "npre", "npost", "ncycle", "pre_cycles"}}
