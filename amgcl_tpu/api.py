@@ -55,6 +55,8 @@ class Solver:
     ):
         from .ops.formats import DiaMatrix, from_scipy_auto
 
+        self._matrix_format = matrix_format
+
         if isinstance(A, DiaMatrix):
             # Device-resident input (e.g. assembled on-device with
             # models.poisson.poisson3d_dia): zero host work, zero upload.
@@ -223,23 +225,23 @@ class Solver:
         from .precond.grid_setup import GridAMG
 
         if isinstance(A_new, DiaMatrix):
+            if not isinstance(self.precond, GridAMG):
+                raise NotImplementedError(
+                    "device-matrix rebuild needs the GridAMG preconditioner"
+                )
+            self.precond.rebuild(A_new)
             self.A_dev = A_new.astype(self.A_dev.dtype)
-            if isinstance(self.precond, GridAMG):
-                self.precond.rebuild(A_new)
-                return self
-            raise NotImplementedError(
-                "device-matrix rebuild needs the GridAMG preconditioner"
-            )
-        A = sp.csr_matrix(A_new)
-        self.A_dev = from_scipy_auto(
-            A, block=self.block, dtype=self.A_dev.dtype
-        )
-        if isinstance(self.precond, (AMG, GridAMG)):
-            self.precond.rebuild(A)
-        else:
+            return self
+        if not isinstance(self.precond, (AMG, GridAMG)):
             raise NotImplementedError(
                 "rebuild is supported for the AMG preconditioners"
             )
+        A = sp.csr_matrix(A_new)
+        self.precond.rebuild(A)
+        self.A_dev = from_scipy_auto(
+            A, block=self.block, dtype=self.A_dev.dtype,
+            format=self._matrix_format,
+        )
         return self
 
     def __repr__(self):

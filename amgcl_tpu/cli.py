@@ -167,6 +167,8 @@ def main(argv=None):
             if not args.pmask:
                 raise ValueError("--dist-precond schur requires --pmask")
             pm = np.asarray(_load(args.pmask)).ravel()
+            if reorder is not None:
+                pm = np.asarray(reorder.forward(pm))
             kw["pmask"] = pm.astype(bool)
         amg_keys = {k: pprm.pop(k) for k in list(pprm)
                     if k in {"coarse_enough", "direct_coarse", "max_levels",

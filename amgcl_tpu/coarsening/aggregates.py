@@ -27,6 +27,12 @@ UNDEFINED = -1
 REMOVED = -2
 
 
+class EmptyLevelError(RuntimeError):
+    """No aggregates could be formed (diagonal / fully-decoupled level) —
+    the analogue of the reference's error::empty_level
+    (amgcl/util.hpp:207)."""
+
+
 @dataclasses.dataclass
 class Aggregates:
     count: int                    # number of coarse dofs
@@ -95,7 +101,7 @@ def plain_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08) -> Aggregates:
 
     count = _greedy_sweep(A.indptr, A.indices, strong, ids)
     if count == 0:
-        raise RuntimeError("empty level: no aggregates could be formed")
+        raise EmptyLevelError("empty level: no aggregates could be formed")
 
     # Renumber: some aggregates may have vanished during capture.
     used = np.zeros(count, dtype=np.int64)
@@ -194,7 +200,7 @@ def pmis_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08,
         raise RuntimeError("pmis aggregation did not converge")
 
     if count == 0:
-        raise RuntimeError("empty level: no aggregates could be formed")
+        raise EmptyLevelError("empty level: no aggregates could be formed")
 
     # Renumber aggregates by their smallest fine index so coarse numbering
     # stays roughly monotone with fine rows (keeps the distributed halo

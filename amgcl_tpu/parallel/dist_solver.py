@@ -273,9 +273,10 @@ class DistSolver:
             arrs = tuple(a[0] for a in arrs)
             A_local = make_local(arrs)
             Aop = lambda v: dist_spmv(A_local, v)
+            extra = {}
             if is_refine:
                 A32_local = make_local32(tuple(a[0] for a in arrs32))
-                solver_params["A32"] = lambda v: dist_spmv(A32_local, v)
+                extra["A32"] = lambda v: dist_spmv(A32_local, v)
             if kind == "coupled_amg":
                 from .dist_amg import dist_amg_apply
 
@@ -317,7 +318,7 @@ class DistSolver:
             if not use_defl:
                 return solver_fn(
                     Aop, Pop, rhs_loc, x0_loc,
-                    inner_product=inner, **solver_params,
+                    inner_product=inner, **solver_params, **extra,
                 )
 
             from .deflation import make_project
@@ -334,15 +335,15 @@ class DistSolver:
 
             A_defl = lambda v: proj(Aop(v))
             if is_refine:
-                A32_base = solver_params["A32"]
+                A32_base = extra["A32"]
                 # proj's deflation factors live in solver precision; keep
                 # the inner solve's dtype stable across the projection.
-                solver_params["A32"] = (
+                extra["A32"] = (
                     lambda v: proj(A32_base(v)).astype(v.dtype)
                 )
             xt, info = solver_fn(
                 A_defl, Pop, proj(rhs_loc), x0_loc,
-                inner_product=inner, **solver_params,
+                inner_product=inner, **solver_params, **extra,
             )
             # x = Q b + Pᵀ x̃
             qb = (Einv @ zt(rhs_loc))[my] * jnp.ones_like(rhs_loc)

@@ -132,9 +132,10 @@ class AMG:
                 break
             A_dev = from_scipy_auto(A, block=blk, dtype=self.dtype)
             relax_state = self.relaxation.setup(A, A_dev)
+            from ..coarsening.aggregates import EmptyLevelError
             try:
                 P, R = self.coarsening.transfer_operators(A)
-            except RuntimeError:
+            except EmptyLevelError:
                 # No aggregates could be formed (e.g. a diagonal or
                 # fully-decoupled matrix — the reference throws
                 # error::empty_level, amgcl/util.hpp:207).  Terminate the

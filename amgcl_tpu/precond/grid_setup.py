@@ -311,7 +311,8 @@ def build_grid_hierarchy(
 ):
     """Build the whole hierarchy on device. A: fine matrix in DIA (device).
 
-    Returns (levels, params) compatible with precond.amg.amg_apply."""
+    Returns (levels, params, rebuild_plan); levels/params are
+    compatible with precond.amg.amg_apply."""
     prm = params or AMGParams()
     relaxation = relaxation or rlx.SPAI0()
     levels = []
@@ -397,12 +398,14 @@ def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
         ok = (cols >= 0) & (cols < n)
         flat = rows * n + jnp.clip(cols, 0, n - 1)
         dense = (
-            jnp.zeros(n * n, dtype=data.dtype)
+            jnp.zeros(n * n, dtype=jnp.float64)
             .at[flat.reshape(-1)]
-            .add(jnp.where(ok, data, 0.0).reshape(-1))
+            .add(jnp.where(ok, data, 0.0).astype(jnp.float64).reshape(-1))
             .reshape(n, n)
         )
-        return jnp.linalg.inv(dense)
+        # invert in f64 (matching the reference's host-side double
+        # factorization) and store in the hierarchy dtype
+        return jnp.linalg.inv(dense).astype(data.dtype)
 
     return densify_inv(A.data)
 
@@ -466,11 +469,21 @@ class GridAMG:
                 )
             relax = _dia_relax_setup(self.relaxation, A)
             data_all, absmax, nnz_c = rb(A.data, lvl.P.S.data, lvl.P.St.data)
+            # The coarse stencil is pinned to the original build; if a new
+            # coefficient pattern activates a probed offset that cancelled
+            # to zero at build time, silently dropping it would corrupt
+            # the hierarchy — demand a full setup instead.
+            new_keep = np.flatnonzero(np.asarray(absmax) > 0)
+            if not np.isin(new_keep, pl["keep_idx"]).all():
+                raise ValueError(
+                    "rebuild: the coarse stencil grew with the new "
+                    "coefficients; run a full setup (GridAMG) instead"
+                )
             Ac = DiaMatrix(
                 data=data_all[pl["keep_idx"]],
                 offsets=pl["c_offs"],
                 shape=(int(np.prod(pl["cdims"])),) * 2,
-                nnz=pl["c_nnz"],
+                nnz=int(nnz_c),
             )
             new_levels.append(_dc.replace(lvl, A=A, relax=relax))
             A = Ac

@@ -77,15 +77,18 @@ def bandwidth_report(solver, rhs=None, repeats: int = 5) -> str:
     if levels is not None:
         prm = solver.precond.prm
         sweeps = prm.npre + prm.npost + 1  # pre+post sweeps + residual
-        for l in levels:
+        for depth, l in enumerate(levels):
+            # level k is visited ncycle^k times per cycle application
+            visits = prm.ncycle ** depth
             lv = l.A.shape[0] * jnp.dtype(l.A.dtype).itemsize
-            per_iter += prm.ncycle * (sweeps * (l.A.nbytes + 2 * lv))
-            if l.P is not None and hasattr(l.P, "nbytes"):
-                per_iter += prm.ncycle * (l.P.nbytes + l.R.nbytes)
             if l.coarse_inv is not None:
-                per_iter += (
+                per_iter += visits * (
                     l.coarse_inv.size * l.coarse_inv.dtype.itemsize
                 )
+                continue
+            per_iter += visits * sweeps * (l.A.nbytes + 2 * lv)
+            if l.P is not None and hasattr(l.P, "nbytes"):
+                per_iter += visits * (l.P.nbytes + l.R.nbytes)
 
     t_iter = best / iters
     gbs = per_iter / t_iter / 1e9
