@@ -150,9 +150,14 @@ def partition_ell_halo(M: sp.csr_matrix, S: int, block: int = 1,
 
 def make_dist_matrix(A: sp.csr_matrix, S: int, axis: str = "shard",
                      block: int = 1, dtype=jnp.float32):
-    """Pick the distributed format (DIA slab-halo when viable, ELL
-    all-gather otherwise) and return (stacked_arrays, make_local) where
-    make_local(per_shard_arrays) builds the in-shard_map matrix view."""
+    """Pick the distributed format and return (stacked_arrays, make_local)
+    where make_local(per_shard_arrays) builds the in-shard_map view.
+
+    Preference order: DIA slab-halo (banded, zero gathers) → halo-window
+    ELL (two contiguous ppermutes, any pattern whose per-shard column
+    window fits one slab) → all-gather ELL (always correct)."""
+    from .dist import DistEllH
+
     n = A.shape[0]
     n_loc = n // S
     use_dia = block == 1 and dia_viable(A)
@@ -168,6 +173,20 @@ def make_dist_matrix(A: sp.csr_matrix, S: int, axis: str = "shard",
             return DistDia(data=d, offsets=offsets, n=n, n_loc=n_loc, axis=axis)
 
         return (data,), make_local
+
+    halo = partition_ell_halo(A, S, block=block, dtype=dtype)
+    if halo is not None:
+        data, cols, H = halo
+        nb_loc = n_loc // block
+
+        def make_local(arrs):
+            d, c = arrs
+            return DistEllH(
+                data=d, cols=c, n=n, nr_loc=nb_loc, nc_loc=nb_loc,
+                halo=H, block=block, axis=axis,
+            )
+
+        return (data, cols), make_local
 
     data, cols = partition_ell(A, S, block=block, dtype=dtype)
 

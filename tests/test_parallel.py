@@ -254,3 +254,42 @@ def test_dist_refine_mixed_precision():
     x2, _ = D2(rhs)
     r2 = rhs - A @ np.asarray(x2, dtype=np.float64)
     assert np.linalg.norm(r2) / np.linalg.norm(rhs) < 1e-8
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs multiple devices")
+def test_halo_ell_top_level_operator():
+    """make_dist_matrix prefers the halo-window ELL for banded general
+    matrices (two ppermutes instead of an all-gather) and matches the
+    host product exactly."""
+    from amgcl_tpu.parallel.dist import DistEllH, dist_spmv
+    from amgcl_tpu.parallel.partition import make_dist_matrix
+
+    n, bw = 512, 40
+    rng = np.random.default_rng(0)
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        js = rng.integers(max(0, i - bw), min(n, i + bw), size=12)
+        rows += [i] * len(js)
+        cols += list(js)
+        vals += list(rng.standard_normal(len(js)))
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    A.sum_duplicates()
+
+    S = 4
+    arrs, mk = make_dist_matrix(A, S, dtype=jnp.float64)
+    assert isinstance(mk(tuple(a[0] for a in arrs)), DistEllH)
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("shard",))
+    x = rng.standard_normal(n)
+
+    def f(arrs, xl):
+        return dist_spmv(mk(tuple(a[0] for a in arrs)), xl)
+
+    y = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(tuple(P("shard") for _ in arrs), P("shard")),
+            out_specs=P("shard"), check_vma=False,
+        )
+    )(arrs, jnp.asarray(x))
+    assert np.abs(np.asarray(y) - A @ x).max() < 1e-12
