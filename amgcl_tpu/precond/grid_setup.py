@@ -398,14 +398,16 @@ def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
         ok = (cols >= 0) & (cols < n)
         flat = rows * n + jnp.clip(cols, 0, n - 1)
         dense = (
-            jnp.zeros(n * n, dtype=jnp.float64)
+            jnp.zeros(n * n, dtype=data.dtype)
             .at[flat.reshape(-1)]
-            .add(jnp.where(ok, data, 0.0).astype(jnp.float64).reshape(-1))
+            .add(jnp.where(ok, data, 0.0).reshape(-1))
             .reshape(n, n)
         )
-        # invert in f64 (matching the reference's host-side double
-        # factorization) and store in the hierarchy dtype
-        return jnp.linalg.inv(dense).astype(data.dtype)
+        # Inversion runs in the hierarchy dtype: TPU LuDecomposition only
+        # implements F32/C64 (f64 fails to compile), and the coarse solve
+        # sits inside an f32 preconditioner whose error the outer Krylov /
+        # defect correction absorbs anyway.
+        return jnp.linalg.inv(dense)
 
     return densify_inv(A.data)
 
