@@ -10,9 +10,12 @@ is expressed over a `jax.sharding.Mesh` axis with `shard_map`:
   collapses to two neighbour permutes because the DIA layout makes the
   boundary contiguous); local compute is the same shift-multiply SpMV,
   and XLA's async collectives overlap the permute with interior work.
-* **DistEll** — general matrices: ghost values via `lax.all_gather`
-  (correct for any pattern; the optimized bucketed exchange arrives with
-  the distributed SpGEMM work).
+* **DistEllH** — general matrices with a bounded per-shard column
+  window: indices are rebased to the window at setup and ghost values
+  arrive as the same two contiguous slab permutes (the reference's
+  index-list comm_pattern collapsed to what ICI wants).
+* **DistEll** — unbounded patterns: ghost values via `lax.all_gather`
+  (always correct; the fallback).
 * dots are `lax.psum` reductions — the InnerProduct policy hook of the
   reference (amgcl/mpi/inner_product.hpp:44-67).
 
@@ -25,11 +28,9 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.formats import SparseMatrix, DiaMatrix
 
 
 @partial(

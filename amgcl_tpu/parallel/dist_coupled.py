@@ -30,7 +30,7 @@ from .. import relaxation as rlx
 from .dist import dist_spmv
 from .dist_amg import _relax_apply
 from .dist_general import (
-    DistGenLevel, _mk_local, _pad_csr, _partition_op, _shard_relax_padded,
+    _mk_local, _partition_op, _shard_relax_padded,
     build_dist_general_amg, dist_general_apply,
 )
 

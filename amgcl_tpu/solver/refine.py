@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import SolveInfo, as_operator, as_precond, norm_of
+from .common import SolveInfo, as_operator, norm_of
 from ..ops import blas1
 
 

@@ -53,7 +53,7 @@ def bandwidth_report(solver, rhs=None, repeats: int = 5) -> str:
     otherwise misreports on tunnelled devices.
     """
     import time
-    import numpy as np
+
     import jax.numpy as jnp
 
     A = solver.A_dev
