@@ -54,10 +54,16 @@ def main():
         lambda: make_solver(A, solver="fgmres", precond="relaxation",
                             tol=1e-8, maxiter=600, M=60),
         600)
-    run("fgmres + Schur PC",
+    run("fgmres + Schur (approx)",
+        lambda: make_solver(
+            A, solver="fgmres", tol=1e-8, maxiter=300,
+            precond=SchurPressureCorrection(A, pmask, approx_schur=True),
+        ),
+        300)
+    run("fgmres + Schur (usolve)",
         lambda: make_solver(
             A, solver="fgmres", tol=1e-8, maxiter=200,
-            precond=SchurPressureCorrection(A, pmask, approx_schur=True),
+            precond=SchurPressureCorrection(A, pmask, approx_schur=False),
         ),
         200)
 
