@@ -201,3 +201,45 @@ def spmv_block_dia_pallas(A: BlockDiaMatrix, x: jax.Array, *,
         interpret=interpret,
     )(data, xp)
     return y[:b, :nb].T.reshape(-1).astype(x.dtype)
+
+
+def spmv_dia_prehalo_pallas(data: jax.Array, offsets, x_ext: jax.Array,
+                            H: int, n_loc: int) -> jax.Array:
+    """Streaming DIA SpMV for a *pre-haloed* local vector — the
+    distributed per-shard compute path (parallel/dist.py DistDia):
+    x_ext = [H left-halo | local | H right-halo] already assembled by the
+    ppermute exchange; this reuses the double-buffered kernel with the
+    halo re-padded to the 128-lane alignment the DMA needs."""
+    dt = data.dtype
+    D = data.shape[0]
+    budget = 4 << 20
+    tile = (budget // (D * dt.itemsize)) // 128 * 128
+    tile = int(max(8192, min(tile, 131072)))
+    Lp = -(-H // 128) * 128
+    Rp = Lp
+    n_pad = ((n_loc + tile - 1) // tile) * tile
+    xp = jnp.pad(
+        x_ext.astype(dt), (Lp - H, (Rp - H) + (n_pad - n_loc))
+    ).reshape(1, -1)
+    dpad = (
+        jnp.pad(data, ((0, 0), (0, n_pad - n_loc)))
+        if n_pad != n_loc else data
+    )
+    ntiles = n_pad // tile
+    win = tile + Lp + Rp
+    _imap = lambda i: (jnp.int32(0), i)
+    y = pl.pallas_call(
+        partial(_kernel, tuple(offsets), Lp, tile, ntiles),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((D, tile), _imap),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, tile), _imap),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), dt),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, win), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(dpad, xp)
+    return y[0, :n_loc]

@@ -133,6 +133,17 @@ def dist_spmv(A, x_loc: jax.Array) -> jax.Array:
             from_left = jax.lax.ppermute(xc[-H:], A.axis, right_perm)
             from_right = jax.lax.ppermute(xc[:H], A.axis, left_perm)
             x_ext = jnp.concatenate([from_left, xc, from_right])
+        from ..ops.spmv import _pallas_ok
+
+        if dt in (jnp.float32, jnp.bfloat16) and _pallas_ok():
+            # Per-shard streaming kernel — the local compute of the
+            # multi-chip hot path (XLA overlaps it with the ppermutes).
+            from ..ops.pallas_spmv import spmv_dia_prehalo_pallas
+
+            y = spmv_dia_prehalo_pallas(
+                A.data, A.offsets, x_ext, H, n_loc
+            )
+            return y.astype(x_loc.dtype)
         y = jnp.zeros(n_loc, dtype=dt)
         H_ = H
         for k, d in enumerate(A.offsets):
