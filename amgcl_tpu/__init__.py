@@ -24,17 +24,20 @@ import jax as _jax
 _jax.config.update("jax_enable_x64", True)
 
 from . import ops, coarsening, relaxation, solver, precond, parallel, models, utils
-from .ops.formats import SparseMatrix
+from .ops.formats import SparseMatrix, DiaMatrix, BlockDiaMatrix
 from .precond.amg import AMG
 from .precond.as_preconditioner import AsPreconditioner
 from .precond.dummy import DummyPrecond
-from .api import make_solver
+from .api import make_solver, make_block_solver
 from .runtime import make_solver_from_config
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SparseMatrix",
+    "DiaMatrix",
+    "BlockDiaMatrix",
+    "make_block_solver",
     "AMG",
     "AsPreconditioner",
     "DummyPrecond",
