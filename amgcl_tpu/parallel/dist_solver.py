@@ -2,17 +2,29 @@
 (amgcl/mpi/make_solver.hpp:56-200).
 
 Composition: any Krylov solver from the serial suite (unchanged code)
-with (1) the operator = distributed SpMV, (2) the inner product = psum
-reduction, and (3) the preconditioner = per-shard *local* AMG on the
-diagonal block — the additive-Schwarz composition of the reference's
-mpi::block_preconditioner (amgcl/mpi/block_preconditioner.hpp:48-99).
+with (1) the operator = distributed SpMV over the mesh axis, (2) the
+inner product = psum reduction, and (3) a distributed preconditioner:
+
+* ``precond="coupled_amg"`` — the true distributed hierarchy
+  (mpi::amg role): grid-aligned slab levels when ``dims`` is given,
+  the general row-sharded halo-ELL hierarchy otherwise; iteration
+  counts match the serial solver exactly;
+* ``precond="amg"`` — per-shard local AMG on the diagonal blocks, the
+  additive-Schwarz composition of mpi::block_preconditioner
+  (amgcl/mpi/block_preconditioner.hpp:48-99); local hierarchies are
+  stacked leaf-wise and must be structurally identical (equal slabs,
+  grid-aligned coarsening), which the builder checks;
+* ``precond="relaxation"`` — per-shard smoothers (the MPI relaxation
+  wrappers' role);
+* ``precond="cpr"`` / ``"schur"`` — the distributed coupled
+  preconditioners (mpi::cpr / mpi::schur_pressure_correction roles);
+* ``deflation=True`` adds two-level subdomain deflation
+  (mpi::subdomain_deflation role);
+* ``solver="refine"`` runs the mixed-precision defect-correction
+  driver against an f32 copy of the distributed operator.
+
 The whole distributed solve is one shard_map'd jitted program; vectors
 are globally sharded arrays, so multi-chip scaling is pure data layout.
-
-Per-shard hierarchies are stacked leaf-wise across shards and unstacked
-inside shard_map — this requires structurally identical local hierarchies
-(equal slab sizes; grid-aligned or relaxation-only preconditioning),
-which the builder checks.
 """
 
 from __future__ import annotations
