@@ -163,3 +163,30 @@ def test_cli_distributed(tmp_path):
         capture_output=True, text=True, env=env, cwd=cwd,
     )
     assert bad.returncode != 0
+
+
+def test_config_schur_and_refine():
+    """Runtime config classes: schur_pressure_correction and the refine
+    solver through make_solver_from_config."""
+    from amgcl_tpu.runtime import make_solver_from_config
+    from amgcl_tpu.models.coupled import stokes2d
+    from amgcl_tpu.models.poisson import poisson3d
+
+    A, rhs, pmask = stokes2d(8)
+    S = make_solver_from_config(A, {
+        "solver": {"type": "fgmres", "tol": 1e-8, "maxiter": 300},
+        "precond": {"class": "schur_pressure_correction", "pmask": pmask,
+                    "approx_schur": False},
+    })
+    x, info = S(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-6
+
+    A2, rhs2 = poisson3d(12)
+    S2 = make_solver_from_config(A2, {
+        "solver": {"type": "refine", "tol": 1e-8, "inner": "cg",
+                   "inner_tol": 1e-4},
+    })
+    x2, i2 = S2(rhs2)
+    r2 = rhs2 - A2 @ np.asarray(x2, dtype=np.float64)
+    assert np.linalg.norm(r2) / np.linalg.norm(rhs2) < 1e-7
