@@ -203,8 +203,20 @@ def spmv_block_dia_pallas(A: BlockDiaMatrix, x: jax.Array, *,
     return y[:b, :nb].T.reshape(-1).astype(x.dtype)
 
 
+def prehalo_viable(D: int, H: int, itemsize: int = 4) -> bool:
+    """VMEM feasibility of the pre-haloed kernel: double-buffered data
+    blocks plus two halo windows must fit the ~16MB scoped budget."""
+    budget = 4 << 20
+    tile = max(8192, min((budget // (D * itemsize)) // 128 * 128, 131072))
+    Lp = -(-H // 128) * 128
+    win = tile + 2 * Lp
+    need = 2 * D * tile * itemsize + 2 * win * itemsize
+    return need <= (12 << 20)
+
+
 def spmv_dia_prehalo_pallas(data: jax.Array, offsets, x_ext: jax.Array,
-                            H: int, n_loc: int) -> jax.Array:
+                            H: int, n_loc: int, *,
+                            interpret: bool = False) -> jax.Array:
     """Streaming DIA SpMV for a *pre-haloed* local vector — the
     distributed per-shard compute path (parallel/dist.py DistDia):
     x_ext = [H left-halo | local | H right-halo] already assembled by the
@@ -241,5 +253,6 @@ def spmv_dia_prehalo_pallas(data: jax.Array, offsets, x_ext: jax.Array,
             pltpu.VMEM((2, 1, win), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=interpret,
     )(dpad, xp)
     return y[0, :n_loc]

@@ -116,6 +116,19 @@ class DistEllH:
     axis: str
 
 
+def _exchange_halo(xc: jax.Array, H: int, axis: str) -> jax.Array:
+    """[left-halo | local | right-halo] via two contiguous slab permutes
+    (edge shards receive zeros — the Dirichlet-consistent boundary)."""
+    if H == 0:
+        return xc
+    ndev = jax.lax.axis_size(axis)
+    right_perm = [(i, i + 1) for i in range(ndev - 1)]
+    left_perm = [(i + 1, i) for i in range(ndev - 1)]
+    from_left = jax.lax.ppermute(xc[-H:], axis, right_perm)
+    from_right = jax.lax.ppermute(xc[:H], axis, left_perm)
+    return jnp.concatenate([from_left, xc, from_right])
+
+
 def dist_spmv(A, x_loc: jax.Array) -> jax.Array:
     """y_loc = (A @ x)_loc, running per-shard inside shard_map."""
     if isinstance(A, DistDia):
@@ -123,19 +136,12 @@ def dist_spmv(A, x_loc: jax.Array) -> jax.Array:
         n_loc = A.n_loc
         dt = A.data.dtype
         xc = x_loc.astype(dt)
-        if H == 0:
-            x_ext = xc
-        else:
-            ndev = jax.lax.axis_size(A.axis)
-            # halo slabs: my last H rows go right; my first H rows go left.
-            right_perm = [(i, i + 1) for i in range(ndev - 1)]
-            left_perm = [(i + 1, i) for i in range(ndev - 1)]
-            from_left = jax.lax.ppermute(xc[-H:], A.axis, right_perm)
-            from_right = jax.lax.ppermute(xc[:H], A.axis, left_perm)
-            x_ext = jnp.concatenate([from_left, xc, from_right])
+        x_ext = _exchange_halo(xc, H, A.axis)
         from ..ops.spmv import _pallas_ok
+        from ..ops.pallas_spmv import prehalo_viable
 
-        if dt in (jnp.float32, jnp.bfloat16) and _pallas_ok():
+        if (dt in (jnp.float32, jnp.bfloat16) and _pallas_ok()
+                and prehalo_viable(len(A.offsets), H, dt.itemsize)):
             # Per-shard streaming kernel — the local compute of the
             # multi-chip hot path (XLA overlaps it with the ppermutes).
             from ..ops.pallas_spmv import spmv_dia_prehalo_pallas
@@ -170,15 +176,7 @@ def dist_spmv(A, x_loc: jax.Array) -> jax.Array:
         dt = A.data.dtype
         xc = x_loc.astype(dt)
         H = A.halo * b           # halo in scalars
-        if H == 0:
-            x_ext = xc
-        else:
-            ndev = jax.lax.axis_size(A.axis)
-            right_perm = [(i, i + 1) for i in range(ndev - 1)]
-            left_perm = [(i + 1, i) for i in range(ndev - 1)]
-            from_left = jax.lax.ppermute(xc[-H:], A.axis, right_perm)
-            from_right = jax.lax.ppermute(xc[:H], A.axis, left_perm)
-            x_ext = jnp.concatenate([from_left, xc, from_right])
+        x_ext = _exchange_halo(xc, H, A.axis)
         if b == 1:
             xg = x_ext[A.cols]
             y = jnp.sum(A.data[:, 0, 0, :] * xg, axis=0)

@@ -397,17 +397,21 @@ def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
         cols = rows + offs                                # (D, n)
         ok = (cols >= 0) & (cols < n)
         flat = rows * n + jnp.clip(cols, 0, n - 1)
+        # Invert in f64 where the backend supports it (CPU); TPU
+        # LuDecomposition only implements F32/C64 (f64 fails to
+        # compile), and there the f32 coarse-solve error sits inside an
+        # f32 preconditioner whose error the outer Krylov / defect
+        # correction absorbs.
+        inv_dt = (
+            jnp.float64 if jax.default_backend() == "cpu" else data.dtype
+        )
         dense = (
-            jnp.zeros(n * n, dtype=data.dtype)
+            jnp.zeros(n * n, dtype=inv_dt)
             .at[flat.reshape(-1)]
-            .add(jnp.where(ok, data, 0.0).reshape(-1))
+            .add(jnp.where(ok, data, 0.0).astype(inv_dt).reshape(-1))
             .reshape(n, n)
         )
-        # Inversion runs in the hierarchy dtype: TPU LuDecomposition only
-        # implements F32/C64 (f64 fails to compile), and the coarse solve
-        # sits inside an f32 preconditioner whose error the outer Krylov /
-        # defect correction absorbs anyway.
-        return jnp.linalg.inv(dense)
+        return jnp.linalg.inv(dense).astype(data.dtype)
 
     return densify_inv(A.data)
 

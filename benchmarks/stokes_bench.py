@@ -31,7 +31,7 @@ def main():
     A, rhs, pmask = stokes2d(n)
     print(f"# stokes2d({n}): {A.shape[0]} dof ({int(pmask.sum())} pressure)")
 
-    def run(label, build, maxiter):
+    def run(label, build):
         t0 = time.time()
         S = build()
         setup = time.time() - t0
@@ -52,20 +52,17 @@ def main():
 
     run("fgmres + relaxation",
         lambda: make_solver(A, solver="fgmres", precond="relaxation",
-                            tol=1e-8, maxiter=600, M=60),
-        600)
+                            tol=1e-8, maxiter=600, M=60))
     run("fgmres + Schur (approx)",
         lambda: make_solver(
             A, solver="fgmres", tol=1e-8, maxiter=300,
             precond=SchurPressureCorrection(A, pmask, approx_schur=True),
-        ),
-        300)
+        ))
     run("fgmres + Schur (usolve)",
         lambda: make_solver(
             A, solver="fgmres", tol=1e-8, maxiter=200,
             precond=SchurPressureCorrection(A, pmask, approx_schur=False),
-        ),
-        200)
+        ))
 
 
 if __name__ == "__main__":

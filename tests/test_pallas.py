@@ -35,3 +35,33 @@ def test_pallas_dia_wide_offsets():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(spmv(D, x)), rtol=1e-6, atol=1e-6
     )
+
+
+def test_prehalo_kernel_interpret():
+    """The pre-haloed distributed kernel matches the XLA shift path
+    (interpret mode, asymmetric offsets, H > 0)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from amgcl_tpu.ops.formats import DiaMatrix
+    from amgcl_tpu.ops.pallas_spmv import spmv_dia_prehalo_pallas
+    from amgcl_tpu.ops.spmv import _spmv_dia
+
+    n = 300
+    A = sp.diags([2.0, -1.0, -0.5, 0.25],
+                 [0, -1, 7, -13], shape=(n, n)).tocsr()
+    M = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    H = max(max(M.offsets), -min(M.offsets))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), jnp.float32)
+    x_ext = jnp.pad(x, (H, H))
+    y = spmv_dia_prehalo_pallas(M.data, M.offsets, x_ext, H, n,
+                                interpret=True)
+    ref = _spmv_dia(M, x)
+    assert float(abs(y - ref).max()) < 1e-5
+
+
+def test_prehalo_viability_guard():
+    from amgcl_tpu.ops.pallas_spmv import prehalo_viable
+
+    assert prehalo_viable(7, 22528)          # the 150-cube slab case
+    assert not prehalo_viable(7, 3_000_000)  # plane bigger than VMEM
+    assert not prehalo_viable(400, 128)      # too many diagonals

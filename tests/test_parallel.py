@@ -293,3 +293,46 @@ def test_halo_ell_top_level_operator():
         )
     )(arrs, jnp.asarray(x))
     assert np.abs(np.asarray(y) - A @ x).max() < 1e-12
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs multiple devices")
+def test_halo_ell_block_operator():
+    """Block (b=2) halo-window ELL matches the host product."""
+    from amgcl_tpu.parallel.partition import partition_ell_halo
+    from amgcl_tpu.parallel.dist import DistEllH, dist_spmv
+
+    n, b = 256, 2
+    rng = np.random.default_rng(3)
+    blocks = sp.random(n // b, n // b, density=0.05, random_state=rng,
+                       format="csr")
+    blocks = blocks + sp.diags(np.ones(n // b))
+    A = sp.kron(blocks, np.arange(1, b * b + 1.0).reshape(b, b)).tocsr()
+    # band-limit so the halo window applies
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    keep = np.abs(A.indices - rows) <= 64
+    A = sp.csr_matrix((A.data * keep, A.indices, A.indptr), shape=A.shape)
+    A.eliminate_zeros()
+    A = A + sp.eye(n)
+    A = sp.csr_matrix(A)
+
+    S = 4
+    res = partition_ell_halo(A, S, block=b, dtype=jnp.float64)
+    assert res is not None
+    data, cols, H = res
+    nb_loc = (n // b) // S
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("shard",))
+    x = rng.standard_normal(n)
+
+    def f(d, c, xl):
+        M = DistEllH(data=d[0], cols=c[0], n=n, nr_loc=nb_loc,
+                     nc_loc=nb_loc, halo=H, block=b, axis="shard")
+        return dist_spmv(M, xl)
+
+    y = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P("shard"), P("shard"), P("shard")),
+            out_specs=P("shard"), check_vma=False,
+        )
+    )(data, cols, jnp.asarray(x))
+    assert np.abs(np.asarray(y) - A @ x).max() < 1e-12
