@@ -38,6 +38,22 @@ module amgcl_tpu
        integer(c_int) :: rc
      end function amgcl_tpu_solver_solve
 
+     ! Distributed solver over the device mesh (the role of the
+     ! reference MPI binding, lib/amgcl_mpi.h); n_shards = 0 uses every
+     ! visible device.  Solve/destroy via the same handle calls.
+     function amgcl_tpu_dist_solver_create(n, ptr, col, val, n_shards, &
+          params_json) bind(C, name="amgcl_tpu_dist_solver_create") &
+          result(handle)
+       use iso_c_binding
+       integer(c_int64_t), value :: n
+       integer(c_int64_t), intent(in) :: ptr(*)
+       integer(c_int64_t), intent(in) :: col(*)
+       real(c_double), intent(in) :: val(*)
+       integer(c_int64_t), value :: n_shards
+       character(kind=c_char), intent(in) :: params_json(*)
+       integer(c_int64_t) :: handle
+     end function amgcl_tpu_dist_solver_create
+
      subroutine amgcl_tpu_solver_destroy(handle) &
           bind(C, name="amgcl_tpu_solver_destroy")
        use iso_c_binding
