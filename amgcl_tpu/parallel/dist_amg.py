@@ -65,9 +65,11 @@ class DistGridLevel:
 
 
 def _shard_dia_data(D: DiaMatrix, S: int):
+    """(D, n) → (S, D, n_loc) without leaving the device (slab sharding
+    of DIA data is a pure reshape)."""
     n = D.shape[0]
-    data = np.asarray(D.data).reshape(len(D.offsets), S, n // S)
-    return jnp.asarray(np.transpose(data, (1, 0, 2)))
+    data = D.data.reshape(len(D.offsets), S, n // S)
+    return jnp.transpose(data, (1, 0, 2))
 
 
 def _shard_relax_state(state, S: int):

@@ -99,8 +99,62 @@ class DistSolver:
         S = mesh.shape[axis]
         self.S = S
 
-        A = sp.csr_matrix(A)
+        from ..ops.formats import DiaMatrix
+        from .dist import DistDia
+
         self._n2o = None
+        if isinstance(A, DiaMatrix):
+            # Device-resident input (e.g. assembled on-chip): the slab
+            # partition of DIA data is a pure reshape, so the whole
+            # distributed setup never touches the host.  Grid coupled
+            # hierarchy only (it is the device-setup path).
+            if precond != "coupled_amg" or dims is None or deflation:
+                raise ValueError(
+                    "device (DiaMatrix) input supports "
+                    "precond='coupled_amg' with grid dims (no deflation)"
+                )
+            n = A.shape[0]
+            if n % S:
+                raise ValueError(
+                    f"device input size {n} must divide the shard count {S}"
+                )
+            self.n = self.n_true = n
+            n_loc = n // S
+            H = max(max(A.offsets), -min(A.offsets), 0)
+            if H > n_loc:
+                raise ValueError(
+                    f"halo width {H} exceeds shard size {n_loc}"
+                )
+            from .dist_amg import _shard_dia_data, build_dist_grid_amg
+
+            A_solver = A.astype(solver_dtype)
+            offsets = A.offsets
+            self.arrs = (_shard_dia_data(A_solver, S),)
+
+            def make_local(arrs):
+                (d,) = arrs
+                return DistDia(data=d, offsets=offsets, n=n, n_loc=n_loc,
+                               axis=axis)
+
+            self.make_local = make_local
+            if solver == "refine":
+                self.arrs32 = (_shard_dia_data(A.astype(jnp.float32), S),)
+                self.make_local32 = make_local
+            else:
+                self.arrs32 = ()
+
+            dlv, tail, self.local_prm = build_dist_grid_amg(
+                A.astype(precond_dtype), dims, S, axis=axis,
+                relaxation=relaxation, params=amg_params,
+                dtype=precond_dtype,
+            )
+            self.levels_stacked = (dlv, tail)
+            self._precond_kind = "coupled_amg"
+            self._finalize(solver, deflation, solver_params, mesh, axis,
+                           solver_dtype)
+            return
+
+        A = sp.csr_matrix(A)
         if precond == "schur":
             # Distributed Schur pressure correction (mpi::schur role):
             # permute so each shard's slab is [its u rows | its p rows],
@@ -256,13 +310,27 @@ class DistSolver:
         else:
             raise ValueError(f"unknown distributed preconditioner {precond!r}")
 
+        self._finalize(solver, deflation, solver_params, mesh, axis,
+                       solver_dtype, A_host=A)
+
+    # ------------------------------------------------------------------
+    def _finalize(self, solver, deflation, solver_params, mesh, axis,
+                  solver_dtype, A_host=None):
+        """Deflation setup + the jitted shard_map solve program (shared
+        by the host-CSR and device-resident construction paths)."""
+        S = self.S
+        n_loc = self.n // S
         # Two-level subdomain deflation (mpi::subdomain_deflation parity):
         # projected operator + tiny replicated coarse solve.
         self.deflation = deflation
         if deflation:
             from .deflation import make_deflation_ops
 
-            self.AZ, self.Einv = make_deflation_ops(A, S, axis, solver_dtype)
+            if A_host is None:
+                raise ValueError("deflation requires a host matrix")
+            self.AZ, self.Einv = make_deflation_ops(
+                A_host, S, axis, solver_dtype
+            )
         else:
             self.AZ = jnp.zeros((S, n_loc, 1), dtype=solver_dtype)
             self.Einv = jnp.zeros((1, 1), dtype=solver_dtype)
