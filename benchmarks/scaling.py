@@ -36,6 +36,13 @@ def main():
     ndev = len(jax.devices())
     if counts is None:
         counts = [c for c in (1, 2, 4, 8, 16) if c <= ndev]
+    elif any(c > ndev for c in counts):
+        # env JAX_PLATFORMS=cpu alone is not reliable on some setups —
+        # requesting more shards than devices would silently misparition.
+        print(f"# clamping shard counts to {ndev} visible device(s); "
+              f"set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+              f"for a virtual mesh")
+        counts = sorted({min(c, ndev) for c in counts})
 
     print(f"# devices available: {ndev}; weak scaling, base {base}^3/shard")
     print("# S    n_rows      nnz    spmv_ms   Gnnz/s   GB/s   "
