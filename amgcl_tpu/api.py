@@ -68,7 +68,18 @@ class Solver:
             self.solver_name = solver
             self._solver_fn = make_solver_fn(solver)
             self.A_dev = A.astype(solver_dtype)
-            device_setup = solver_params.pop("device_setup", True)
+            # Options meaningless on the device-matrix path are rejected
+            # rather than silently ignored.
+            if solver_params.pop("device_setup", True) is False:
+                raise ValueError(
+                    "device_setup=False is meaningless for device-resident "
+                    "(DiaMatrix) input — setup is always on device"
+                )
+            if matrix_format != "auto":
+                raise ValueError(
+                    "matrix_format is fixed by device-resident input; "
+                    f"got {matrix_format!r}"
+                )
             if isinstance(precond, str):
                 if precond == "amg":
                     from .coarsening.grid_aggregation import GridAggregation

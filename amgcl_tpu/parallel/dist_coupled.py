@@ -151,7 +151,7 @@ class DistSchurMeta:
     p_prm: AMGParams
     Kup_meta: tuple
     Kpu_meta: tuple
-    Padj_meta: tuple
+    Kpp_meta: tuple
     p_solver: str
     p_kw: dict
     axis: str
@@ -261,15 +261,18 @@ def build_dist_schur(
 
     Kup_arrs, Kup_meta = _partition_op(Kup, S, dtype)
     Kpu_arrs, Kpu_meta = _partition_op(Kpu, S, dtype)
-    Padj_arrs, Padj_meta = _partition_op(Padj, S, dtype)
+    # The Schur action uses the *true* Kpp; Padj only builds the
+    # pressure preconditioner hierarchy (reference keeps a pristine Kpp
+    # for its spmv, schur_pressure_correction.hpp:264-271).
+    Kpp_arrs, Kpp_meta = _partition_op(Kpp, S, dtype)
     M_st = jnp.asarray(Mdia.reshape(S, nu_loc), dtype=dtype)
 
-    sharded = (Kup_arrs, Kpu_arrs, Padj_arrs, M_st, u_dlv, p_dlv)
+    sharded = (Kup_arrs, Kpu_arrs, Kpp_arrs, M_st, u_dlv, p_dlv)
     replicated = (u_tail, p_tail)
     meta = DistSchurMeta(
         nu_loc=nu_loc, np_loc=np_loc, type=type, approx_schur=approx_schur,
         u_prm=u_prm, p_prm=p_prm, Kup_meta=Kup_meta, Kpu_meta=Kpu_meta,
-        Padj_meta=Padj_meta, p_solver=p_solver, p_kw=p_cfg, axis=axis,
+        Kpp_meta=Kpp_meta, p_solver=p_solver, p_kw=p_cfg, axis=axis,
     )
     return sharded, replicated, meta, new2old
 
@@ -280,11 +283,11 @@ def dist_schur_apply(sharded, replicated, meta: DistSchurMeta, inner,
     schur_pressure_correction.hpp:186-257, types 1 and 2)."""
     from ..solver import make_solver_fn
 
-    Kup_arrs, Kpu_arrs, Padj_arrs, M_st, u_dlv, p_dlv = sharded
+    Kup_arrs, Kpu_arrs, Kpp_arrs, M_st, u_dlv, p_dlv = sharded
     u_tail, p_tail = replicated
     Kup = _mk_local(tuple(a[0] for a in Kup_arrs), meta.Kup_meta, axis)
     Kpu = _mk_local(tuple(a[0] for a in Kpu_arrs), meta.Kpu_meta, axis)
-    Padj = _mk_local(tuple(a[0] for a in Padj_arrs), meta.Padj_meta, axis)
+    Kpp = _mk_local(tuple(a[0] for a in Kpp_arrs), meta.Kpp_meta, axis)
     M = M_st[0]
 
     dt = M.dtype
@@ -296,7 +299,7 @@ def dist_schur_apply(sharded, replicated, meta: DistSchurMeta, inner,
     p_prec = lambda r: dist_general_apply(p_dlv, p_tail, r, meta.p_prm, axis)
 
     def schur_op(x):
-        y = dist_spmv(Padj, x)
+        y = dist_spmv(Kpp, x)
         t = dist_spmv(Kup, x)
         u = M * t if meta.approx_schur else usolve(t)
         return y - dist_spmv(Kpu, u)

@@ -93,6 +93,13 @@ class SchurPressureCorrection:
         self.Kuu = from_scipy_auto(Kuu, dtype=dtb)
         self.Kup = from_scipy_auto(Kup, dtype=dtb)
         self.Kpu = from_scipy_auto(Kpu, dtype=dtb)
+        # True Kpp for the Schur action: Padj only preconditions the
+        # PSolver (reference keeps a pristine Kpp for its spmv,
+        # schur_pressure_correction.hpp:264-271).
+        self.Kpp = (
+            self.Psolve.A_dev if adjust_p == 0
+            else from_scipy_auto(Kpp, dtype=dtb)
+        )
         self.M = jnp.asarray(Mdia, dtype=dtb)
         self.K_dev = from_scipy_auto(K, dtype=dtb)
 
@@ -114,11 +121,10 @@ class SchurPressureCorrection:
         return x.astype(fu.dtype)
 
     def _schur_op(self, x):
-        """S x = Padj-free Schur action: Kpp-side via the PSolver system
-        matrix + correction, reference spmv (hpp:259-284)."""
-        y = spmv(self.Psolve.A_dev, x.astype(self.Psolve.A_dev.dtype)).astype(
-            x.dtype
-        )
+        """S x = Kpp x − Kpu (Kuu⁻¹) Kup x with the *true* Kpp — the
+        adjust_p modification applies only to the PSolver's
+        preconditioner matrix (reference spmv, hpp:259-284)."""
+        y = spmv(self.Kpp, x.astype(self.Kpp.dtype)).astype(x.dtype)
         t = spmv(self.Kup, x)
         if self.approx_schur:
             u = self.M * t
