@@ -129,21 +129,48 @@ class Solver:
         if isinstance(precond, str):
             if precond == "amg" and device_setup:
                 from .coarsening.grid_aggregation import GridAggregation
-                from .precond.grid_setup import GridAMG
-
-                if not isinstance(coarsening, GridAggregation):
-                    raise ValueError(
-                        "device_setup requires GridAggregation coarsening"
-                    )
-                self.precond = GridAMG(
-                    A,
-                    coarsening.dims,
-                    relaxation=relaxation,
-                    params=amg_params,
-                    dtype=precond_dtype,
-                    eps_strong=coarsening.eps_strong,
-                    relax_factor=coarsening.relax,
+                from .coarsening.smoothed_aggregation import (
+                    SmoothedAggregation,
                 )
+                from .precond.grid_setup import GridAMG
+                from .precond.ell_setup import DeviceGeneralAMG
+
+                if isinstance(coarsening, GridAggregation):
+                    self.precond = GridAMG(
+                        A,
+                        coarsening.dims,
+                        relaxation=relaxation,
+                        params=amg_params,
+                        dtype=precond_dtype,
+                        eps_strong=coarsening.eps_strong,
+                        relax_factor=coarsening.relax,
+                    )
+                elif block == 1 and (
+                    coarsening is None
+                    or isinstance(coarsening, SmoothedAggregation)
+                ):
+                    # general (unstructured) on-device setup: PMIS
+                    # aggregation + sort-based Galerkin RAP
+                    eps = (
+                        coarsening.eps_strong if coarsening is not None
+                        else 0.08
+                    )
+                    rfac = (
+                        coarsening.relax if coarsening is not None else 1.0
+                    )
+                    self.precond = DeviceGeneralAMG(
+                        A,
+                        relaxation=relaxation,
+                        params=amg_params,
+                        dtype=precond_dtype,
+                        eps_strong=eps,
+                        relax_factor=rfac,
+                    )
+                else:
+                    raise ValueError(
+                        "device_setup supports GridAggregation or scalar "
+                        "smoothed aggregation"
+                    )
             elif precond == "amg":
                 self.precond = AMG(
                     A,
@@ -172,11 +199,12 @@ class Solver:
     # ------------------------------------------------------------------
     def _make_jitted(self):
         from .precond.grid_setup import GridAMG
+        from .precond.ell_setup import DeviceGeneralAMG
 
         solver_fn = self._solver_fn
         params = dict(self.solver_params)
 
-        if isinstance(self.precond, (AMG, GridAMG)):
+        if isinstance(self.precond, (AMG, GridAMG, DeviceGeneralAMG)):
             prm = self.precond.prm
 
             @partial(jax.jit, static_argnames=())

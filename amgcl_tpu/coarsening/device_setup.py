@@ -1,0 +1,270 @@
+"""On-device general (unstructured) AMG setup.
+
+The reference always builds on the CPU (amgcl/amg.hpp:355-360; SpGEMM in
+amgcl/detail/spgemm.hpp:62, PMIS in amgcl/mpi/coarsening/pmis.hpp:50).
+This module runs the smoothed-aggregation setup pipeline for *arbitrary*
+sparsity on the TPU:
+
+* strength of connection — elementwise on the planar ELL data;
+* aggregation — a PMIS distance-2 independent-set sweep as a jittable
+  `lax.while_loop` of scatter-max rounds (the data-parallel algorithm
+  family the reference uses for its distributed coarsening);
+* tentative + Jacobi-smoothed prolongation — P inherits A's ELL layout
+  with aggregate-remapped columns (duplicate columns allowed: SpMV and
+  the RAP compression sum them);
+* Galerkin RAP — term expansion → sort by (row, col) key → segment sum
+  → planar ELL: the sort-based SpGEMM that replaces the reference's
+  marker-array loops on a machine without scalar hash loops
+  (SURVEY §7 "hard parts" plan, executed).
+
+Device↔host traffic per level: a handful of scalars (aggregate count,
+max coarse row width, nnz) — never an nnz-sized array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+_DEAD = jnp.int64(0x7FFFFFFFFFFFFFFF)
+
+
+# ----------------------------------------------------------------------
+# strength + PMIS aggregation (jittable)
+# ----------------------------------------------------------------------
+
+def _ell_diagonal(data, cols):
+    rows = jnp.arange(data.shape[1], dtype=jnp.int32)
+    return jnp.sum(jnp.where(cols == rows[None, :], data, 0.0), axis=0)
+
+
+def _strength_ell(data, cols, eps2):
+    """Strong-connection mask on planar ELL (reference semantics
+    a_ij² > eps² a_ii a_jj, coarsening/plain_aggregates.hpp:87-104);
+    padding entries (value 0) are never strong."""
+    rows = jnp.arange(data.shape[1], dtype=jnp.int32)
+    dia = _ell_diagonal(data, cols)
+    off = (cols != rows[None, :]) & (data != 0)
+    return off & (
+        data * data > eps2 * jnp.abs(dia)[None, :] * jnp.abs(dia[cols])
+    )
+
+
+@partial(jax.jit, static_argnames=("max_rounds",))
+def pmis_ids_device(data, cols, eps2, seed, max_rounds=64):
+    """Jittable PMIS distance-2 aggregation over the ELL strength graph.
+
+    Returns (ids, count, strong): ids[i] ∈ [0, count) is i's aggregate,
+    or -2 for removed (lonely) nodes; ids are coarse-numbered already.
+    Weights are a deterministic seeded hash (reproducible, like the host
+    pmis_aggregates).  Assumes an (approximately) symmetric strength
+    pattern, which smoothed aggregation requires anyway."""
+    K, n = data.shape
+    UNDEF = jnp.int32(-1)
+    REMOVED = jnp.int32(-2)
+    strong = _strength_ell(data, cols, eps2)             # (K, n)
+    rows = jnp.arange(n, dtype=jnp.int32)
+    scols = jnp.where(strong, cols, 0)                   # safe gather idx
+
+    has_strong = jnp.any(strong, axis=0)
+    has_in = (
+        jnp.zeros(n, dtype=bool)
+        .at[scols.reshape(-1)]
+        .max(strong.reshape(-1))
+    )
+    live0 = has_strong | has_in
+    ids0 = jnp.where(live0, UNDEF, REMOVED)
+
+    # deterministic unique weights: hash in high bits, index tiebreak low
+    h = (rows.astype(jnp.uint32) * jnp.uint32(2654435761)
+         ^ (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)))
+    h = h ^ (h >> 16)
+    w = ((h.astype(jnp.int64) & jnp.int64(0x7FFFFFFF)) << 32) \
+        | rows.astype(jnp.int64)
+    w = w + 1                                            # > 0
+
+    def nbr_max(key):
+        """max over {self} ∪ strong out-neighbors ∪ strong in-neighbors."""
+        kj = jnp.where(strong, key[scols], jnp.int64(0))
+        m = jnp.maximum(key, jnp.max(kj, axis=0))
+        m = m.at[scols.reshape(-1)].max(
+            jnp.where(strong, jnp.broadcast_to(key[None, :], strong.shape),
+                      jnp.int64(0)).reshape(-1)
+        )
+        return m
+
+    def round_(st):
+        ids, it = st
+        live = ids == UNDEF
+        key = jnp.where(live, w, jnp.int64(0))
+        roots = live & (key == nbr_max(nbr_max(key)))
+        ids = jnp.where(roots, rows, ids)
+
+        # 1-hop join: undecided node takes the heaviest adjacent root
+        root_w = jnp.where(roots, w, jnp.int64(0))
+        adj = jnp.where(strong, root_w[scols], jnp.int64(0))   # (K, n)
+        best = jnp.max(adj, axis=0)
+        arg = jnp.argmax(adj, axis=0)
+        join = live & ~roots & (best > 0)
+        target = scols[arg, rows]
+        ids = jnp.where(join, ids[target], ids)
+
+        # 2-hop capture: undecided strong neighbours of just-joined
+        # members follow them (the greedy pass's distance-2 reach,
+        # plain_aggregates.hpp:171-184)
+        mem_w = jnp.where(join, w, jnp.int64(0))
+        adj2 = jnp.where(strong, mem_w[scols], jnp.int64(0))
+        best2 = jnp.max(adj2, axis=0)
+        arg2 = jnp.argmax(adj2, axis=0)
+        join2 = (ids == UNDEF) & (best2 > 0)
+        target2 = scols[arg2, rows]
+        ids = jnp.where(join2, ids[target2], ids)
+        return ids, it + 1
+
+    def cond(st):
+        ids, it = st
+        return jnp.any(ids == UNDEF) & (it < max_rounds)
+
+    ids, _ = jax.lax.while_loop(cond, round_, (ids0, jnp.int32(0)))
+    # safety net: anything still undecided roots itself
+    ids = jnp.where(ids == UNDEF, rows, ids)
+
+    # renumber root-node indices to 0..count-1
+    root_hit = (
+        jnp.zeros(n, dtype=jnp.int32)
+        .at[jnp.where(ids >= 0, ids, 0)]
+        .max(jnp.where(ids >= 0, 1, 0))
+    )
+    remap = jnp.cumsum(root_hit) - 1
+    count = jnp.sum(root_hit)
+    ids = jnp.where(ids >= 0, remap[jnp.where(ids >= 0, ids, 0)], ids)
+    return ids, count, strong
+
+
+# ----------------------------------------------------------------------
+# smoothed prolongation on ELL (jittable)
+# ----------------------------------------------------------------------
+
+def smoothed_prolongation_ell(data, cols, ids, strong, omega):
+    """P = (I − ω D_F⁻¹ A_F) P_tent on the ELL layout (reference
+    semantics, coarsening/smoothed_aggregation.hpp:139-232): A_F keeps
+    strong off-diagonals, weak ones lump into the diagonal; P_tent is
+    piecewise-constant over aggregates.
+
+    Returns (P_data, P_cols) shaped (K+1, n): slot K carries the (1−ω)
+    diagonal term routed to the row's own aggregate.  Entries routed to
+    removed columns (ids < 0) and removed rows are zero.  Duplicate
+    columns (several strong neighbours in one aggregate) are retained —
+    downstream SpMV / RAP sum them."""
+    K, n = data.shape
+    rows = jnp.arange(n, dtype=jnp.int32)
+    dia = _ell_diagonal(data, cols)
+    off = (cols != rows[None, :]) & (data != 0)
+    weak = off & ~strong
+    dia_F = dia + jnp.sum(jnp.where(weak, data, 0.0), axis=0)
+    inv_dF = jnp.where(
+        dia_F != 0, 1.0 / jnp.where(dia_F == 0, 1.0, dia_F), 0.0
+    )
+
+    agg_j = ids[cols]                                    # (K, n)
+    okj = strong & (agg_j >= 0) & (ids >= 0)[None, :]
+    P_off = jnp.where(okj, -omega * inv_dF[None, :] * data, 0.0)
+    Pc_off = jnp.where(okj, agg_j, 0).astype(jnp.int32)
+
+    oki = ids >= 0
+    P_dia = jnp.where(oki, 1.0 - omega, 0.0)[None, :]
+    Pc_dia = jnp.where(oki, ids, 0).astype(jnp.int32)[None, :]
+
+    return (
+        jnp.concatenate([P_off, P_dia], axis=0),
+        jnp.concatenate([Pc_off, Pc_dia], axis=0),
+    )
+
+
+# ----------------------------------------------------------------------
+# sort-based sparse products (jittable)
+# ----------------------------------------------------------------------
+
+def _terms_to_ell(row, col, val, nrows, k_bound):
+    """Compress flat product terms into planar ELL (k_bound, nrows):
+    sort by (row, col) key, segment-sum duplicates, place by within-row
+    rank.  Entries beyond k_bound clamp into the last slot (the returned
+    kmax lets the host detect and retry with a larger bound).  Returns
+    (data, cols, kmax, nnz)."""
+    dead = val == 0
+    key = jnp.where(
+        dead, _DEAD,
+        row.astype(jnp.int64) * jnp.int64(int(1) << 32)
+        + col.astype(jnp.int64),
+    )
+    order = jnp.argsort(key)
+    k = key[order]
+    v = val[order]
+    first = jnp.concatenate([jnp.array([True]), k[1:] != k[:-1]])
+    segidx = jnp.cumsum(first.astype(jnp.int32)) - 1
+    tot = jnp.zeros(k.shape[0], v.dtype).at[segidx].add(v)
+    vv = tot[segidx]
+
+    live = first & (k != _DEAD) & (vv != 0)
+    rowz = jnp.where(live, (k >> 32), nrows).astype(jnp.int32)
+    colz = jnp.where(live, k & jnp.int64(0xFFFFFFFF), 0).astype(jnp.int32)
+
+    counts = (
+        jnp.zeros(nrows + 1, jnp.int32)
+        .at[rowz]
+        .add(live.astype(jnp.int32))[:nrows]
+    )
+    row_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+    )
+    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
+    rank = jnp.where(live, pos - row_start[jnp.minimum(rowz, nrows - 1)], 0)
+    kmax = jnp.max(jnp.where(live, rank + 1, 0))
+
+    rank_c = jnp.minimum(rank, k_bound - 1)
+    srow = jnp.where(live, rowz, 0)
+    data = (
+        jnp.zeros((k_bound, nrows), v.dtype)
+        .at[rank_c, srow]
+        .add(jnp.where(live, vv, 0.0))
+    )
+    cols = (
+        jnp.zeros((k_bound, nrows), jnp.int32)
+        .at[rank_c, srow]
+        .max(jnp.where(live, colz, 0))
+    )
+    nnz = jnp.sum(live.astype(jnp.int64))
+    return data, cols, kmax, nnz
+
+
+@partial(jax.jit, static_argnames=("kap_bound",))
+def spgemm_ap_device(A_data, A_cols, P_data, P_cols, kap_bound):
+    """AP = A @ P for planar ELL factors (same fine row space)."""
+    j = A_cols                                           # (KA, n)
+    PD = P_data.T[j]                                     # (KA, n, KP)
+    PC = P_cols.T[j]
+    T = A_data[:, :, None] * PD                          # (KA, n, KP)
+    n = A_data.shape[1]
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :, None], T.shape
+    )
+    return _terms_to_ell(
+        rows.reshape(-1), PC.reshape(-1), T.reshape(-1), n, kap_bound
+    )
+
+
+@partial(jax.jit, static_argnames=("nc", "kc_bound"))
+def spgemm_ptb_device(P_data, P_cols, B_data, B_cols, nc, kc_bound):
+    """C = Pᵀ @ B where P and B share the fine row space (the Galerkin
+    contraction): per fine row i, outer(P slots, B slots) terms keyed
+    (P_cols[kr,i], B_cols[kb,i])."""
+    W = P_data[:, None, :] * B_data[None, :, :]          # (KP, KB, n)
+    a = jnp.broadcast_to(P_cols[:, None, :], W.shape)
+    b = jnp.broadcast_to(B_cols[None, :, :], W.shape)
+    return _terms_to_ell(
+        a.reshape(-1), b.reshape(-1), W.reshape(-1), nc, kc_bound
+    )

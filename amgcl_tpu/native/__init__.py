@@ -32,6 +32,12 @@ class _Native:
             ctypes.c_int64,
             ctypes.c_int64,
         ]
+        dll.ilut_factor.restype = ctypes.c_int64
+        dll.ilut_factor.argtypes = (
+            [ctypes.c_void_p] * 3
+            + [ctypes.c_int64, ctypes.c_double, ctypes.c_double]
+            + [ctypes.c_void_p] * 7
+        )
 
     def greedy_aggregate(self, indptr, indices, strong, ids):
         indptr = np.ascontiguousarray(indptr, dtype=np.int64)
@@ -57,6 +63,42 @@ class _Native:
         if rc != 0:
             raise RuntimeError(f"ilu0: zero/missing pivot in row {-rc - 1}")
         return out
+
+    def ilut(self, indptr, indices, data, p, tau):
+        """Reference-exact ILUT(p, tau) (amgcl/relaxation/ilut.hpp:55).
+
+        Returns (Lptr, Lcol, Lval, Uptr, Ucol, Uval, Dinv) with L/U the
+        strict triangular factors and Dinv the inverted U diagonal.
+        Raises on a zero pivot (no silent fallback)."""
+        indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+        indices = np.ascontiguousarray(indices, dtype=np.int64)
+        data = np.ascontiguousarray(data, dtype=np.float64)
+        n = len(indptr) - 1
+        rows = np.repeat(np.arange(n), np.diff(indptr))
+        lenL = np.bincount(rows, weights=(indices < rows), minlength=n)
+        lenU = np.bincount(rows, weights=(indices > rows), minlength=n)
+        Lcap = int((lenL * p).astype(np.int64).sum()) + 1
+        Ucap = int((lenU * p).astype(np.int64).sum()) + 1
+        Lptr = np.zeros(n + 1, np.int64)
+        Uptr = np.zeros(n + 1, np.int64)
+        Lcol = np.zeros(Lcap, np.int64)
+        Ucol = np.zeros(Ucap, np.int64)
+        Lval = np.zeros(Lcap, np.float64)
+        Uval = np.zeros(Ucap, np.float64)
+        Dinv = np.zeros(n, np.float64)
+        rc = self._dll.ilut_factor(
+            indptr.ctypes.data, indices.ctypes.data, data.ctypes.data,
+            n, float(p), float(tau),
+            Lptr.ctypes.data, Lcol.ctypes.data, Lval.ctypes.data,
+            Uptr.ctypes.data, Ucol.ctypes.data, Uval.ctypes.data,
+            Dinv.ctypes.data,
+        )
+        if rc != 0:
+            raise RuntimeError(
+                f"ilut: zero pivot in row {-rc - 1} "
+                "(structural breakdown; no silent fallback)"
+            )
+        return Lptr, Lcol, Lval, Uptr, Ucol, Uval, Dinv
 
     def level_schedule(self, indptr, indices, n, lower):
         indptr = np.ascontiguousarray(indptr, dtype=np.int64)

@@ -14,10 +14,13 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC kernels.cpp -o libamgcltpu.so
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
-#include <vector>
 #include <cstring>
+#include <queue>
 #include <unordered_map>
+#include <vector>
 
 extern "C" {
 
@@ -133,6 +136,126 @@ int64_t level_schedule(
         }
     }
     return nlev;
+}
+
+// ILUT(p, tau): row-wise IKJ with a sparse accumulator (capability of
+// amgcl/relaxation/ilut.hpp:55-198,330-378).  Per row i:
+//   tol  = tau * sum|a_ij| / (lenL + lenU)
+//   eliminate against finished U rows in ascending column order
+//   (fill-in included); l_ik = w_k * Dinv[k]; skip the update when
+//   |l_ik| <= tol;
+//   keep the int(lenL*p) largest L entries with |.| > tol, the diagonal
+//   (inverted into Dinv), and the int(lenU*p)-1 largest strict-upper
+//   entries with |.| > tol.
+// Outputs are caller-allocated with capacities Lcap = sum(int(lenL*p)),
+// Ucap = sum(int(lenU*p)).  Returns 0, or -(i+1) on a zero pivot at row i.
+int64_t ilut_factor(
+    const int64_t* indptr,
+    const int64_t* indices,
+    const double* data,
+    int64_t n,
+    double p,
+    double tau,
+    int64_t* Lptr, int64_t* Lcol, double* Lval,
+    int64_t* Uptr, int64_t* Ucol, double* Uval,
+    double* Dinv)
+{
+    std::vector<double> w(n, 0.0);
+    std::vector<int64_t> pos(n, -1);      // col -> slot in nzcols, or -1
+    std::vector<int64_t> nzcols;          // nonzero pattern of current row
+    nzcols.reserve(256);
+    std::priority_queue<int64_t, std::vector<int64_t>,
+                        std::greater<int64_t>> q;   // ascending cols < i
+
+    int64_t Lhead = 0, Uhead = 0;
+    Lptr[0] = 0;
+    Uptr[0] = 0;
+
+    std::vector<int64_t> keep;            // indices into nzcols
+    keep.reserve(256);
+
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t lenL = 0, lenU = 0;
+        double row_norm = 0.0;
+
+        for (int64_t j = indptr[i]; j < indptr[i + 1]; ++j) {
+            int64_t c = indices[j];
+            w[c] = data[j];
+            pos[c] = (int64_t)nzcols.size();
+            nzcols.push_back(c);
+            row_norm += std::fabs(data[j]);
+            if (c < i) { ++lenL; q.push(c); }
+            else if (c > i) ++lenU;
+        }
+        double tol = (lenL + lenU) ? tau * row_norm / (lenL + lenU) : 0.0;
+
+        while (!q.empty()) {
+            int64_t k = q.top(); q.pop();
+            double lik = w[k] * Dinv[k];
+            w[k] = lik;
+            if (std::fabs(lik) > tol) {
+                for (int64_t t = Uptr[k]; t < Uptr[k + 1]; ++t) {
+                    int64_t c = Ucol[t];
+                    if (pos[c] < 0) {
+                        pos[c] = (int64_t)nzcols.size();
+                        nzcols.push_back(c);
+                        w[c] = 0.0;
+                        if (c < i) q.push(c);
+                    }
+                    w[c] -= lik * Uval[t];
+                }
+            }
+        }
+
+        // --- select: L side -------------------------------------------
+        keep.clear();
+        for (int64_t c : nzcols)
+            if (c < i && std::fabs(w[c]) > tol) keep.push_back(c);
+        int64_t lp = (int64_t)(lenL * p);
+        if ((int64_t)keep.size() > lp) {
+            std::nth_element(
+                keep.begin(), keep.begin() + lp, keep.end(),
+                [&](int64_t a, int64_t b) {
+                    return std::fabs(w[a]) > std::fabs(w[b]);
+                });
+            keep.resize(lp);
+        }
+        std::sort(keep.begin(), keep.end());
+        for (int64_t c : keep) { Lcol[Lhead] = c; Lval[Lhead] = w[c]; ++Lhead; }
+        Lptr[i + 1] = Lhead;
+
+        // --- diagonal --------------------------------------------------
+        double dv = (pos[i] >= 0) ? w[i] : 0.0;
+        if (dv == 0.0) {
+            for (int64_t c : nzcols) { w[c] = 0.0; pos[c] = -1; }
+            nzcols.clear();
+            return -(i + 1);
+        }
+        Dinv[i] = 1.0 / dv;
+
+        // --- U side (diagonal consumes one slot of the up budget, as in
+        // the reference's move_to: uend = min(m + up, e) with m = dia) ---
+        keep.clear();
+        for (int64_t c : nzcols)
+            if (c > i && std::fabs(w[c]) > tol) keep.push_back(c);
+        int64_t up = (int64_t)(lenU * p) - 1;
+        if (up < 0) up = 0;
+        if ((int64_t)keep.size() > up) {
+            std::nth_element(
+                keep.begin(), keep.begin() + up, keep.end(),
+                [&](int64_t a, int64_t b) {
+                    return std::fabs(w[a]) > std::fabs(w[b]);
+                });
+            keep.resize(up);
+        }
+        std::sort(keep.begin(), keep.end());
+        for (int64_t c : keep) { Ucol[Uhead] = c; Uval[Uhead] = w[c]; ++Uhead; }
+        Uptr[i + 1] = Uhead;
+
+        for (int64_t c : nzcols) { w[c] = 0.0; pos[c] = -1; }
+        nzcols.clear();
+    }
+    return 0;
 }
 
 }  // extern "C"

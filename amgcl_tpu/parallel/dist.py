@@ -116,6 +116,37 @@ class DistEllH:
     axis: str
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["data"],
+    meta_fields=["offsets", "n", "nb_loc", "block", "axis"],
+)
+@dataclasses.dataclass(frozen=True)
+class DistBlockDia:
+    """Row-partitioned block-DIA matrix — the block-value counterpart of
+    DistDia (reference block paths: amgcl/mpi/ runs static_matrix blocks
+    throughout, e.g. mpi/relaxation/spai0.hpp).  data[k,:,:,i] couples
+    local block-row i to global block-column (row + offsets[k]); the halo
+    is max|offset| block rows = halo*b scalars, exchanged as the same two
+    contiguous slab ppermutes as DistDia."""
+
+    data: jax.Array       # (D, b, b, nb_loc)
+    offsets: tuple        # block-unit diagonals (global col - row)
+    n: int                # global scalar size
+    nb_loc: int           # local block rows
+    block: int
+    axis: str
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def halo(self) -> int:
+        """Halo in block rows."""
+        return max(max(self.offsets), -min(self.offsets), 0)
+
+
 def _exchange_halo(xc: jax.Array, H: int, axis: str) -> jax.Array:
     """[left-halo | local | right-halo] via two contiguous slab permutes
     (edge shards receive zeros — the Dirichlet-consistent boundary)."""
@@ -156,6 +187,23 @@ def dist_spmv(A, x_loc: jax.Array) -> jax.Array:
             seg = jax.lax.slice(x_ext, (H_ + d,), (H_ + d + n_loc,))
             y = y + A.data[k] * seg
         return y.astype(x_loc.dtype)
+
+    if isinstance(A, DistBlockDia):
+        D, b, _, nb_loc = A.data.shape
+        dt = A.data.dtype
+        H = A.halo
+        xc = x_loc.astype(dt)
+        x_ext = _exchange_halo(xc, H * b, A.axis)        # scalars
+        xb = x_ext.reshape(nb_loc + 2 * H, b).T          # (b, nb_ext)
+        ys = [jnp.zeros(nb_loc, dtype=dt) for _ in range(b)]
+        for k, d in enumerate(A.offsets):
+            seg = jax.lax.slice(xb, (0, H + d), (b, H + d + nb_loc))
+            for a in range(b):
+                acc = ys[a]
+                for c in range(b):
+                    acc = acc + A.data[k, a, c] * seg[c]
+                ys[a] = acc
+        return jnp.stack(ys).T.reshape(-1).astype(x_loc.dtype)
 
     if isinstance(A, DistEll):
         x_full = jax.lax.all_gather(x_loc, A.axis, tiled=True)  # (n,)

@@ -84,6 +84,7 @@ class DistSolver:
         solver_dtype=jnp.float64,
         precond_dtype=jnp.float32,
         axis: str = "shard",
+        block: int = 1,
         deflation: bool = False,
         cpr_block_size: int = 0,
         pprecond: dict | None = None,
@@ -180,20 +181,24 @@ class DistSolver:
             self.levels_stacked = (sharded, replicated)
             self._schur_meta = schur_meta
             self._precond_kind = "schur"
-        pad_unit = S * cpr_block_size if precond == "cpr" else S
+        pad_unit = S * cpr_block_size if precond == "cpr" else S * block
         A, _, self.n_true = pad_to_multiple(A, None, pad_unit)
         n = A.shape[0]
         self.n = n
         n_loc = n // S
+        self.block = block
 
+        # Block systems shard in block formats (DistBlockDia / block
+        # DistEllH) — the distributed counterpart of the reference's
+        # static_matrix block paths (amgcl/mpi/relaxation/spai0.hpp etc.).
         self.arrs, self.make_local = make_dist_matrix(
-            A, S, axis=axis, dtype=solver_dtype
+            A, S, axis=axis, block=block, dtype=solver_dtype
         )
         # Mixed-precision refine: the inner Krylov runs against an f32
         # copy of the distributed operator (same halo machinery).
         if solver == "refine":
             self.arrs32, self.make_local32 = make_dist_matrix(
-                A, S, axis=axis, dtype=jnp.float32
+                A, S, axis=axis, block=block, dtype=jnp.float32
             )
         else:
             self.arrs32 = ()
@@ -246,6 +251,7 @@ class DistSolver:
                         coarsening=coarsening,
                         relaxation=relaxation,
                         params=amg_params,
+                        block=block,
                         dtype=precond_dtype,
                     )
                 )
@@ -280,7 +286,7 @@ class DistSolver:
             ]
             # Uniform ELL width across shards so states stack structurally.
             mats = [
-                SparseMatrix.from_scipy(b, dtype=precond_dtype)
+                SparseMatrix.from_scipy(b, block=block, dtype=precond_dtype)
                 for b in blocks
             ]
             K = max(m.width for m in mats)

@@ -47,6 +47,29 @@ def partition_dia(A: sp.csr_matrix, S: int, dtype=jnp.float32):
     return jnp.asarray(data, dtype=dtype), D.offsets
 
 
+def partition_block_dia(A: sp.csr_matrix, S: int, block: int,
+                        dtype=jnp.float32):
+    """Stacked per-shard block-DIA slabs: returns
+    (data (S, D, b, b, nb_loc), offsets).  Requires the halo (max block
+    |offset|) to fit inside one shard's block rows."""
+    from ..ops.formats import BlockDiaMatrix
+
+    B = BlockDiaMatrix.from_scipy(A, block=block, dtype=dtype)
+    n = A.shape[0]
+    assert n % (S * block) == 0, "pad first"
+    nb = n // block
+    nb_loc = nb // S
+    H = max(max(B.offsets), -min(B.offsets), 0) if B.offsets else 0
+    if H > nb_loc:
+        raise ValueError(
+            f"block halo width {H} exceeds shard block rows {nb_loc}"
+        )
+    D = len(B.offsets)
+    data = np.asarray(B.data).reshape(D, block, block, S, nb_loc)
+    data = np.transpose(data, (3, 0, 1, 2, 4))   # (S, D, b, b, nb_loc)
+    return jnp.asarray(data, dtype=dtype), B.offsets
+
+
 def partition_ell(A: sp.csr_matrix, S: int, block: int = 1, dtype=jnp.float32):
     """Stacked per-shard ELL blocks with *global* columns:
     returns (data (S, K, b, b, nb_loc), cols (S, K, nb_loc))."""
@@ -156,7 +179,7 @@ def make_dist_matrix(A: sp.csr_matrix, S: int, axis: str = "shard",
     Preference order: DIA slab-halo (banded, zero gathers) → halo-window
     ELL (two contiguous ppermutes, any pattern whose per-shard column
     window fits one slab) → all-gather ELL (always correct)."""
-    from .dist import DistEllH
+    from .dist import DistBlockDia, DistEllH
 
     n = A.shape[0]
     n_loc = n // S
@@ -173,6 +196,25 @@ def make_dist_matrix(A: sp.csr_matrix, S: int, axis: str = "shard",
             return DistDia(data=d, offsets=offsets, n=n, n_loc=n_loc, axis=axis)
 
         return (data,), make_local
+
+    if block > 1 and A.shape[0] == A.shape[1]:
+        from ..ops.formats import block_dia_viable
+
+        nb_loc = n_loc // block
+        if block_dia_viable(A, block):
+            try:
+                data, offsets = partition_block_dia(A, S, block, dtype)
+            except ValueError:
+                data = None              # halo too wide → ELL paths
+            if data is not None:
+                def make_local(arrs):
+                    (d,) = arrs
+                    return DistBlockDia(
+                        data=d, offsets=offsets, n=n, nb_loc=nb_loc,
+                        block=block, axis=axis,
+                    )
+
+                return (data,), make_local
 
     halo = partition_ell_halo(A, S, block=block, dtype=dtype)
     if halo is not None:

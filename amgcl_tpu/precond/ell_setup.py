@@ -1,0 +1,267 @@
+"""Device-side AMG setup for *general* (unstructured) matrices.
+
+The structured fast path (precond/grid_setup.py) probes grid operators;
+this builder covers everything else on device: PMIS aggregation,
+smoothed prolongation, and the sort-based Galerkin RAP all run as XLA
+programs on the planar-ELL level matrices (coarsening/device_setup.py).
+The host orchestrates shapes only — per level it fetches three scalars
+(aggregate count, max row width, nnz) and never an nnz-sized array
+(reference counterpart: the CPU setup loop of amgcl/amg.hpp:467-500 +
+detail/spgemm.hpp:62, redesigned for a machine where the matrix already
+lives in device memory).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.formats import SparseMatrix
+from .amg import Level, AMGParams
+from .. import relaxation as rlx
+from ..coarsening.device_setup import (
+    pmis_ids_device, smoothed_prolongation_ell,
+    spgemm_ap_device, spgemm_ptb_device, _terms_to_ell, _ell_diagonal,
+)
+
+
+class EmptyLevelError(RuntimeError):
+    pass
+
+
+def _round8(x):
+    return max(8, int(-(-x // 8) * 8))
+
+
+@partial(jax.jit, static_argnames=("nc", "kr_bound"))
+def _transpose_ell(P_data, P_cols, nc, kr_bound):
+    """R = Pᵀ in planar ELL via the shared sort/segment machinery."""
+    K, n = P_data.shape
+    rows = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :], P_cols.shape
+    )
+    return _terms_to_ell(
+        P_cols.reshape(-1), rows.reshape(-1), P_data.reshape(-1),
+        nc, kr_bound,
+    )
+
+
+@jax.jit
+def _spai0_ell(data, cols):
+    dia = _ell_diagonal(data, cols)
+    row_sq = jnp.sum(data * data, axis=0)
+    return jnp.where(
+        row_sq > 0, dia / jnp.where(row_sq == 0, 1.0, row_sq), 1.0
+    )
+
+
+@jax.jit
+def _jacobi_ell(data, cols):
+    dia = _ell_diagonal(data, cols)
+    return 1.0 / jnp.where(dia != 0, dia, 1.0)
+
+
+def _ell_relax_state(relaxation, data, cols, A_sp):
+    from ..relaxation.spai0 import SPAI0, SPAI0State
+    from ..relaxation.damped_jacobi import DampedJacobi, JacobiState
+    from ..relaxation.chebyshev import Chebyshev, ChebyshevState
+
+    if isinstance(relaxation, SPAI0):
+        return SPAI0State(m=_spai0_ell(data, cols))
+    if isinstance(relaxation, DampedJacobi):
+        return JacobiState(
+            inv_dia=_jacobi_ell(data, cols),
+            damping=jnp.asarray(relaxation.damping, data.dtype),
+        )
+    if isinstance(relaxation, Chebyshev) and not relaxation.scale:
+        rho = jnp.max(jnp.sum(jnp.abs(data), axis=0))
+        lo = rho * relaxation.lower
+        hi = rho * relaxation.higher
+        return ChebyshevState(
+            c=((hi - lo) / 2).astype(data.dtype),
+            d=((hi + lo) / 2).astype(data.dtype),
+            inv_dia=jnp.ones(1, data.dtype),
+            degree=relaxation.degree,
+            scale=False,
+        )
+    # generic fallback pulls the level to the host — slow on tunnelled
+    # devices, correct everywhere
+    A_host = A_sp.to_scipy()
+    return relaxation.setup(A_host, A_sp)
+
+
+def _dense_inverse_ell(data, cols, n):
+    @jax.jit
+    def inv(data, cols):
+        flat = (
+            jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :], cols.shape
+            ).astype(jnp.int64) * n + cols.astype(jnp.int64)
+        )
+        inv_dt = (
+            jnp.float64 if jax.default_backend() == "cpu" else data.dtype
+        )
+        dense = (
+            jnp.zeros(n * n, dtype=inv_dt)
+            .at[flat.reshape(-1)]
+            .add(data.astype(inv_dt).reshape(-1))
+            .reshape(n, n)
+        )
+        return jnp.linalg.inv(dense).astype(data.dtype)
+
+    return inv(data, cols)
+
+
+def _wrap(data, cols, shape, nnz):
+    return SparseMatrix(
+        data=data[:, None, None, :], cols=cols, shape=shape, block=1,
+        nnz=int(nnz),
+    )
+
+
+def build_ell_hierarchy(
+    A: SparseMatrix,
+    *,
+    params: AMGParams | None = None,
+    relaxation=None,
+    eps_strong: float = 0.08,
+    relax_factor: float = 1.0,
+    seed: int = 42,
+    dtype=jnp.float32,
+    setup_stats: dict | None = None,
+):
+    """Build the hierarchy on device from a planar-ELL fine matrix.
+
+    Width bounds for the sparse products start at a heuristic and retry
+    with the exact width on overflow (the overflow is detected from the
+    returned kmax scalar, and the retried program is the only recompile).
+    """
+    prm = params or AMGParams()
+    relaxation = relaxation or rlx.SPAI0()
+    stats = setup_stats if setup_stats is not None else {}
+    stats.setdefault("retries", 0)
+    levels = []
+    eps = eps_strong
+
+    A_cur = A.astype(dtype)
+    while (
+        len(levels) < prm.max_levels
+        and A_cur.shape[0] > prm.coarse_enough
+    ):
+        data = A_cur.data[:, 0, 0, :]
+        cols = A_cur.cols
+        K, n = data.shape
+        omega = relax_factor * 2.0 / 3.0
+
+        ids, count, strong = pmis_ids_device(
+            data, cols, jnp.asarray(eps * eps, data.dtype), seed
+        )
+        nc = int(count)                      # scalar fetch
+        if nc == 0:
+            raise EmptyLevelError("no aggregates could be formed")
+        if nc >= n:
+            break                            # coarsening stalled
+
+        P_data, P_cols = smoothed_prolongation_ell(
+            data, cols, ids, strong, omega
+        )
+
+        kap = _round8(K + 8)
+        while True:
+            AP_d, AP_c, kmax, _ = spgemm_ap_device(
+                data, cols, P_data, P_cols, kap
+            )
+            if int(kmax) <= kap:
+                break
+            stats["retries"] += 1
+            kap = _round8(int(kmax))
+
+        kc = _round8(4 * K)
+        while True:
+            Ac_d, Ac_c, kmax_c, nnz_c = spgemm_ptb_device(
+                P_data, P_cols, AP_d, AP_c, nc, kc
+            )
+            if int(kmax_c) <= kc:
+                break
+            stats["retries"] += 1
+            kc = _round8(int(kmax_c))
+
+        kr = _round8(3 * (K + 1))
+        while True:
+            R_d, R_c, kmax_r, nnz_r = _transpose_ell(P_data, P_cols, nc, kr)
+            if int(kmax_r) <= kr:
+                break
+            stats["retries"] += 1
+            kr = _round8(int(kmax_r))
+
+        P_sp = _wrap(P_data, P_cols, (n, nc), int(nnz_r))
+        R_sp = _wrap(R_d, R_c, (nc, n), int(nnz_r))
+        relax_state = _ell_relax_state(relaxation, data, cols, A_cur)
+        levels.append(
+            Level(A=A_cur, P=P_sp, R=R_sp, relax=relax_state,
+                  coarse_inv=None)
+        )
+        A_cur = _wrap(Ac_d, Ac_c, (nc, nc), int(nnz_c))
+        eps *= 0.5
+
+    n = A_cur.shape[0]
+    coarse_inv = _dense_inverse_ell(
+        A_cur.data[:, 0, 0, :], A_cur.cols, n
+    )
+    levels.append(
+        Level(A=A_cur, P=None, R=None, relax=None, coarse_inv=coarse_inv)
+    )
+    return tuple(levels), prm
+
+
+class DeviceGeneralAMG:
+    """AMG with the general (PMIS + sort-RAP) hierarchy built on-device —
+    the unstructured counterpart of GridAMG."""
+
+    def __init__(
+        self,
+        A,
+        *,
+        relaxation=None,
+        params: AMGParams | None = None,
+        dtype=jnp.float32,
+        eps_strong: float = 0.08,
+        relax_factor: float = 1.0,
+        seed: int = 42,
+    ):
+        if not isinstance(A, SparseMatrix):
+            from ..ops.formats import SparseMatrix as SM
+            A = SM.from_scipy(A, dtype=dtype)
+        if A.block != 1:
+            raise ValueError(
+                "device general setup is scalar-only; expand block "
+                "matrices or use the host setup"
+            )
+        self.dtype = dtype
+        self.relaxation = relaxation or rlx.SPAI0()
+        self.setup_stats = {}
+        self.levels, self.prm = build_ell_hierarchy(
+            A, params=params, relaxation=self.relaxation,
+            eps_strong=eps_strong, relax_factor=relax_factor, seed=seed,
+            dtype=dtype, setup_stats=self.setup_stats,
+        )
+
+    def apply(self, r):
+        from .amg import amg_apply
+
+        return amg_apply(self.levels, r, self.prm)
+
+    def system_matrix(self):
+        return self.levels[0].A
+
+    def __call__(self, r):
+        return self.apply(r)
+
+    def __repr__(self):
+        from ..utils.report import hierarchy_report
+
+        return hierarchy_report(self)

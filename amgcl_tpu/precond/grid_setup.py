@@ -261,10 +261,14 @@ def _probe_galerkin(A, gt, cdims, creach, dtype):
 
 
 def _make_level_builder(offsets, dims, cdims, creach, shape, nnz,
-                        omega, eps, dtype):
+                        omega, eps, dtype, keep_idx=None):
     """One jitted program per level: smoother S/Sᵀ + all probe
     applications + on-device stencil extraction (compile count and
-    device→host traffic both matter on remote/tunnelled devices)."""
+    device→host traffic both matter on remote/tunnelled devices).
+
+    keep_idx (static tuple) selects the predicted-nonzero probe diagonals
+    on device; absmax over ALL probed diagonals is still returned so the
+    caller can verify the prediction."""
 
     @jax.jit
     def build(A_data):
@@ -273,9 +277,206 @@ def _make_level_builder(offsets, dims, cdims, creach, shape, nnz,
         St = S.transpose()
         gt = GridTransfer(S=S, St=St, fine_dims=dims, coarse_dims=cdims)
         data, absmax, nnz_c = _probe_galerkin(A, gt, cdims, creach, dtype)
+        if keep_idx is not None:
+            data = data[jnp.asarray(keep_idx, dtype=jnp.int32)]
+            nnz_c = jnp.sum((data != 0).astype(jnp.int32))
         return S.data, St.data, data, absmax, nnz_c
 
     return build
+
+
+# ----------------------------------------------------------------------
+# host-side stencil-pattern prediction (enables compiling every level's
+# probe program concurrently, before any device work has produced the
+# coarse operators)
+# ----------------------------------------------------------------------
+
+def _np_filtered_smoother(data, offsets, n, omega, eps):
+    """Numpy mirror of dia_filtered_smoother (value-exact in f64)."""
+    dia = data[offsets.index(0)]
+    eps2 = eps * eps
+    L = max(0, -min(offsets))
+    R = max(0, max(offsets))
+    dia_p = np.pad(dia, (L, R))
+    strong = np.zeros((len(offsets), n), dtype=bool)
+    for k, d in enumerate(offsets):
+        if d == 0:
+            continue
+        dia_d = dia_p[L + d : L + d + n]
+        v = data[k]
+        strong[k] = eps2 * dia * dia_d < v * v
+    dia_F = np.where(strong, 0.0, data).sum(axis=0)
+    inv_dF = np.where(dia_F != 0, 1.0 / np.where(dia_F == 0, 1.0, dia_F), 0.0)
+    S = np.zeros_like(data)
+    for k, d in enumerate(offsets):
+        if d == 0:
+            S[k] = 1.0 - omega
+        else:
+            S[k] = np.where(strong[k], -omega * inv_dF * data[k], 0.0)
+    return S
+
+
+def _dia_np_to_scipy(data, offsets, n):
+    import scipy.sparse as sp
+
+    rows, cols, vals = [], [], []
+    for k, d in enumerate(offsets):
+        i = np.arange(max(0, -d), min(n, n - d))
+        rows.append(i)
+        cols.append(i + d)
+        vals.append(data[k, i])
+    return sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    ).tocsr()
+
+
+def _small_dia_data(offsets, comps, interior, dims):
+    """Constant-coefficient DIA data on a (small) grid: diagonal k carries
+    interior[k] wherever the *per-axis* shifted coordinate stays on the
+    grid (the structured-operator zeroing pattern)."""
+    n = int(np.prod(dims))
+    coords = np.unravel_index(np.arange(n), dims)
+    data = np.zeros((len(offsets), n))
+    for k, comp in enumerate(comps):
+        ok = np.ones(n, dtype=bool)
+        for x, c, dim in zip(coords, comp, dims):
+            ok &= (x + c >= 0) & (x + c < dim)
+        data[k, ok] = interior[k]
+    return data
+
+
+def _expand_matrix(fd, cd):
+    import scipy.sparse as sp
+
+    i = np.arange(fd)
+    return sp.coo_matrix((np.ones(fd), (i, i // 2)), shape=(fd, cd)).tocsr()
+
+
+def _predict_level(offsets, comps, interior, real_dims, omega, eps):
+    """One coarsening step on a small same-parity grid (host scipy, f64):
+    returns (kept coarse comps sorted by real flat offset, their interior
+    values, coarse interior row ok) — the compile-time signature of the
+    next level without touching the device."""
+    import scipy.sparse as sp
+
+    rA = tuple(max(abs(c[i]) for c in comps) for i in range(len(real_dims)))
+    small = tuple(
+        min(rd, max(4 * a + 6, 9) + ((rd ^ (max(4 * a + 6, 9))) & 1))
+        for a, rd in zip(rA, real_dims)
+    )
+    ns = int(np.prod(small))
+    # flat offsets valid on the small grid, recomputed from the components
+    sstr = []
+    s = 1
+    for d in reversed(small):
+        sstr.append(s)
+        s *= d
+    sstr = sstr[::-1]
+    small_offs = [sum(c * st for c, st in zip(comp, sstr)) for comp in comps]
+    data = _small_dia_data(small_offs, comps, interior, small)
+    A_s = _dia_np_to_scipy(data, small_offs, ns)
+    S_s = _dia_np_to_scipy(
+        _np_filtered_smoother(data, list(small_offs), ns, omega, eps),
+        small_offs, ns,
+    )
+    cdims_s = tuple((d + 1) // 2 for d in small)
+    U = None
+    for fd, cd in zip(small, cdims_s):
+        F = _expand_matrix(fd, cd)
+        U = F if U is None else sp.kron(U, F, format="csr")
+    P = sp.csr_matrix(S_s @ U)
+    M = sp.csr_matrix(U.T @ (S_s.T @ (A_s @ P)))
+    M.sum_duplicates()
+    Mc = M.tocoo()
+    ci = np.stack(np.unravel_index(Mc.row, cdims_s))
+    cj = np.stack(np.unravel_index(Mc.col, cdims_s))
+    delta = (cj - ci).T                      # (nnz, ndim)
+    vmax = np.abs(Mc.data).max() if Mc.nnz else 1.0
+    sig = np.abs(Mc.data) > 1e-12 * vmax
+    # per-comp max |value| and an interior sample value
+    uniq, inv = np.unique(delta[sig], axis=0, return_inverse=True)
+    # interior values: row at the center of the small coarse grid
+    center = np.ravel_multi_index(
+        tuple(d // 2 for d in cdims_s), cdims_s
+    )
+    crow = {tuple(d): 0.0 for d in uniq}
+    on_center = Mc.row == center
+    for r, c, v in zip(Mc.row[on_center], Mc.col[on_center],
+                       Mc.data[on_center]):
+        dd = tuple(
+            int(a - b)
+            for a, b in zip(np.unravel_index(c, cdims_s),
+                            np.unravel_index(r, cdims_s))
+        )
+        if dd in crow:
+            crow[dd] = v
+    kept = [tuple(int(x) for x in d) for d in uniq]
+    # real-level flat offsets (sorted, like _probe_comps ordering)
+    cdims_r = tuple((d + 1) // 2 for d in real_dims)
+    cstr = []
+    s = 1
+    for d in reversed(cdims_r):
+        cstr.append(s)
+        s *= d
+    cstr = cstr[::-1]
+    flat = [sum(c * st for c, st in zip(comp, cstr)) for comp in kept]
+    order = np.argsort(flat)
+    kept = [kept[t] for t in order]
+    flat = [flat[t] for t in order]
+    vals = [crow[k] for k in kept]
+    if len(set(flat)) != len(flat):
+        raise _PredictFailed("ambiguous flat offsets on coarse grid")
+    return kept, np.asarray(vals), tuple(flat), cdims_r
+
+
+class _PredictFailed(Exception):
+    pass
+
+
+def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong):
+    """Level-by-level compile-time signatures (offsets, dims, creach,
+    keep_idx) predicted on the host from the interior stencil — exact for
+    (near-)constant-coefficient operators; callers verify against the
+    device absmax and fall back when the prediction misses signal."""
+    import itertools
+
+    center = int(np.ravel_multi_index(tuple(d // 2 for d in dims), dims))
+    interior = np.asarray(A.data[:, center], dtype=np.float64)
+    offsets = tuple(A.offsets)
+    comps = decompose_offsets(offsets, dims)
+    eps = eps_strong
+    omega = relax_factor * 2.0 / 3.0
+    specs = []
+    cur_dims = tuple(dims)
+    n = A.shape[0]
+    while len(specs) < prm.max_levels and n > prm.coarse_enough:
+        rA = tuple(max(abs(c[i]) for c in comps) for i in range(len(cur_dims)))
+        cdims = tuple((d + 1) // 2 for d in cur_dims)
+        creach = tuple(
+            max(1, min((1 + 3 * a) // 2, cd - 1))
+            for a, cd in zip(rA, cdims)
+        )
+        kept, vals, flat, _ = _predict_level(
+            offsets, comps, interior, cur_dims, omega, eps
+        )
+        if any(
+            any(abs(c) > r for c, r in zip(comp, creach)) for comp in kept
+        ):
+            raise _PredictFailed("predicted stencil exceeds probe reach")
+        # positions of kept comps in the probe-box enumeration
+        all_offs, all_comps = _probe_comps(cdims, creach)
+        pos = {tuple(c): t for t, c in enumerate(all_comps)}
+        keep_idx = tuple(pos[k] for k in kept)
+        specs.append(dict(
+            offsets=offsets, dims=cur_dims, cdims=cdims, creach=creach,
+            shape=(n, n), keep_idx=keep_idx, c_offs=flat,
+        ))
+        offsets, comps, interior = flat, kept, vals
+        cur_dims = cdims
+        n = int(np.prod(cdims))
+        eps *= 0.5
+    return specs, offsets
 
 
 def _make_level_rebuilder(offsets, dims, cdims, creach, shape, nnz, dtype):
@@ -299,6 +500,70 @@ def _make_level_rebuilder(offsets, dims, cdims, creach, shape, nnz, dtype):
     return rebuild
 
 
+def _creach_for(offsets, dims, cdims):
+    """Coarse stencil reach per axis: column c's fine support is its
+    2-cell box smeared by S then A then Sᵀ (each of reach rA, and S
+    shares A's offsets), i.e. [2c - 2rA, 2c+1 + 2rA] against a row
+    window [2c' - rA, 2c'+1 + rA]; overlap requires
+    |2Δ| <= 1 + 3rA, so |Δ| <= (1 + 3rA)//2.  This is tight: rA=1
+    gives the familiar 5-coloring (125 probes in 3D), rA=2 gives 7
+    (343) — a looser (3rA+2)//2 bound over-colors rA=2 to 9 (729),
+    doubling probe work and compile size on coarse levels."""
+    rA = reach(offsets, dims)
+    return tuple(
+        max(1, min((1 + 3 * a) // 2, cd - 1))
+        for a, cd in zip(rA, cdims)
+    )
+
+
+def _finish_level(A, dims, cdims, creach, S_data, St_data, data, keep_idx,
+                  c_offs, nnz_c, relaxation, levels, plan, dtype):
+    S = DiaMatrix(data=S_data, offsets=A.offsets, shape=A.shape, nnz=A.nnz)
+    St = DiaMatrix(
+        data=St_data, offsets=tuple(-d for d in reversed(A.offsets)),
+        shape=A.shape, nnz=A.nnz,
+    )
+    gt = GridTransfer(S=S, St=St, fine_dims=dims, coarse_dims=cdims)
+    relax_state = _dia_relax_setup(relaxation, A)
+    nc = int(np.prod(cdims))
+    Ac = DiaMatrix(data=data, offsets=tuple(c_offs), shape=(nc, nc),
+                   nnz=int(nnz_c))
+    levels.append(Level(A=A, P=gt, R=gt, relax=relax_state, coarse_inv=None))
+    plan.append(dict(
+        offsets=A.offsets, dims=dims, cdims=cdims, creach=creach,
+        shape=A.shape, nnz=A.nnz, keep_idx=np.asarray(keep_idx),
+        c_offs=tuple(c_offs), c_nnz=int(nnz_c), dtype=dtype,
+    ))
+    return Ac
+
+
+def _build_sequential(A, dims, eps, prm, relaxation, relax_factor, dtype,
+                      levels, plan):
+    """The compile-as-you-go path (each level's probe program is compiled
+    only once the previous level's offsets are known on host) — the
+    correct-by-construction fallback when prediction fails."""
+    while len(levels) < prm.max_levels and A.shape[0] > prm.coarse_enough:
+        omega = relax_factor * 2.0 / 3.0
+        cdims = tuple((d + 1) // 2 for d in dims)
+        creach = _creach_for(A.offsets, dims, cdims)
+        build = _make_level_builder(
+            A.offsets, dims, cdims, creach, A.shape, A.nnz,
+            omega, eps, dtype,
+        )
+        S_data, St_data, data_all, absmax, nnz_c = build(A.data)
+        eps *= 0.5
+        all_offs, _ = _probe_comps(cdims, creach)
+        keep = np.asarray(absmax) > 0
+        keep_idx = np.flatnonzero(keep)
+        c_offs = tuple(int(o) for o, k in zip(all_offs, keep) if k)
+        A = _finish_level(
+            A, dims, cdims, creach, S_data, St_data, data_all[keep_idx],
+            keep_idx, c_offs, nnz_c, relaxation, levels, plan, dtype,
+        )
+        dims = cdims
+    return A
+
+
 def build_grid_hierarchy(
     A: DiaMatrix,
     dims,
@@ -308,74 +573,126 @@ def build_grid_hierarchy(
     relax_factor: float = 1.0,
     eps_strong: float = 0.08,
     dtype=jnp.float32,
+    setup_stats: dict | None = None,
 ):
     """Build the whole hierarchy on device. A: fine matrix in DIA (device).
 
-    Returns (levels, params, rebuild_plan); levels/params are
-    compatible with precond.amg.amg_apply."""
+    Returns (levels, params, rebuild_plan); levels/params are compatible
+    with precond.amg.amg_apply.
+
+    Fast path: per-level stencil patterns are *predicted on the host*
+    from the interior stencil (small same-parity grid, f64 scipy), so all
+    level probe programs AOT-compile **concurrently** before any device
+    work — on tunnelled devices where each XLA compile costs seconds,
+    this turns setup from Σ(compile_l) into max(compile_l).  The device
+    absmax over every probed diagonal verifies each prediction; any
+    missed signal (> 1e-5 relative) falls back to the sequential
+    compile-as-you-go path from that level down."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     prm = params or AMGParams()
     relaxation = relaxation or rlx.SPAI0()
     levels = []
     plan = []     # per-level rebuild info (amg::rebuild parity)
     dims = tuple(dims)
     eps = eps_strong
+    stats = setup_stats if setup_stats is not None else {}
+    stats.update(predicted=False, fallback_level=None, compile_s=0.0,
+                 execute_s=0.0)
 
-    while len(levels) < prm.max_levels and A.shape[0] > prm.coarse_enough:
+    specs = None
+    try:
+        specs, _ = _predict_plan(A, dims, prm, relax_factor, eps_strong)
+    except Exception:
+        specs = None
+
+    if specs:
+        stats["predicted"] = True
         omega = relax_factor * 2.0 / 3.0
-        cdims = tuple((d + 1) // 2 for d in dims)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=min(8, len(specs) + 1)) as ex:
 
-        rA = reach(A.offsets, dims)
-        # Coarse stencil reach per axis: column c's fine support is its
-        # 2-cell box smeared by S then A then Sᵀ (each of reach rA, and S
-        # shares A's offsets), i.e. [2c - 2rA, 2c+1 + 2rA] against a row
-        # window [2c' - rA, 2c'+1 + rA]; overlap requires
-        # |2Δ| <= 1 + 3rA, so |Δ| <= (1 + 3rA)//2.  This is tight: rA=1
-        # gives the familiar 5-coloring (125 probes in 3D), rA=2 gives 7
-        # (343) — the previous (3rA+2)//2 bound over-colored rA=2 to 9
-        # (729), doubling probe work and compile size on coarse levels.
-        creach = tuple(
-            max(1, min((1 + 3 * a) // 2, cd - 1))
-            for a, cd in zip(rA, cdims)
+            def compile_spec(l, sp_):
+                b = _make_level_builder(
+                    sp_["offsets"], sp_["dims"], sp_["cdims"],
+                    sp_["creach"], sp_["shape"], 0,
+                    omega, eps_strong * (0.5 ** l), dtype,
+                    keep_idx=sp_["keep_idx"],
+                )
+                D = len(sp_["offsets"])
+                return b.lower(
+                    jax.ShapeDtypeStruct((D, sp_["shape"][0]), dtype)
+                ).compile()
+
+            futs = [
+                ex.submit(compile_spec, l, sp_)
+                for l, sp_ in enumerate(specs)
+            ]
+            # coarsest dense inverse compiles concurrently as well
+            last = specs[-1]
+            n_last = int(np.prod(last["cdims"]))
+            inv_fut = ex.submit(
+                _make_dense_inverse_compiled,
+                last["c_offs"], n_last, dtype,
+            )
+            # warm the tiny relax-state programs (jit-cache warmers)
+            for l in range(len(specs)):
+                ex.submit(
+                    _warm_relax_program, relaxation,
+                    specs[l]["offsets"], specs[l]["shape"][0], dtype,
+                )
+
+            for l, (sp_, fut) in enumerate(zip(specs, futs)):
+                compiled = fut.result()
+                t1 = time.perf_counter()
+                S_data, St_data, data_k, absmax, nnz_c = compiled(A.data)
+                am = np.asarray(absmax)
+                stats["execute_s"] += time.perf_counter() - t1
+                mask = np.zeros(len(am), dtype=bool)
+                mask[list(sp_["keep_idx"])] = True
+                top = am.max() if am.size else 0.0
+                if am.size and (am[~mask] > 1e-5 * max(top, 1e-30)).any():
+                    # prediction missed real signal: rebuild this level
+                    # and everything below with the exact path
+                    stats["fallback_level"] = l
+                    for f in futs[l + 1:]:
+                        f.cancel()
+                    A = _build_sequential(
+                        A, dims, eps, prm, relaxation, relax_factor,
+                        dtype, levels, plan,
+                    )
+                    dims = None
+                    break
+                A = _finish_level(
+                    A, dims, sp_["cdims"], sp_["creach"], S_data, St_data,
+                    data_k, np.asarray(sp_["keep_idx"]), sp_["c_offs"],
+                    nnz_c, relaxation, levels, plan, dtype,
+                )
+                dims = sp_["cdims"]
+                eps *= 0.5
+            coarse_inv = None
+            if stats["fallback_level"] is None:
+                try:
+                    inv_c = inv_fut.result()
+                    if A.offsets == tuple(last["c_offs"]):
+                        coarse_inv = inv_c(A.data)
+                except Exception:
+                    coarse_inv = None
+        stats["compile_s"] = (
+            time.perf_counter() - t0 - stats["execute_s"]
         )
-
-        build = _make_level_builder(
-            A.offsets, dims, cdims, creach, A.shape, A.nnz,
-            omega, eps, dtype,
+        if coarse_inv is None:
+            coarse_inv = _dia_dense_inverse(A)
+        levels.append(
+            Level(A=A, P=None, R=None, relax=None, coarse_inv=coarse_inv)
         )
-        S_data, St_data, data_all, absmax, nnz_c = build(A.data)
-        eps *= 0.5
+        return tuple(levels), prm, plan
 
-        S = DiaMatrix(data=S_data, offsets=A.offsets, shape=A.shape, nnz=A.nnz)
-        St = DiaMatrix(data=St_data, offsets=tuple(-d for d in reversed(A.offsets)),
-                       shape=A.shape, nnz=A.nnz)
-        gt = GridTransfer(S=S, St=St, fine_dims=dims, coarse_dims=cdims)
-
-        relax_state = _dia_relax_setup(relaxation, A)
-
-        # Only the (T,) nonzero mask and the nnz scalar cross the
-        # device→host boundary; the coarse data stays resident.
-        all_offs, _ = _probe_comps(cdims, creach)
-        keep = np.asarray(absmax) > 0
-        keep_idx = np.flatnonzero(keep)
-        nc = int(np.prod(cdims))
-        c_offs = tuple(int(o) for o, k in zip(all_offs, keep) if k)
-        Ac = DiaMatrix(
-            data=data_all[keep_idx],
-            offsets=c_offs,
-            shape=(nc, nc),
-            nnz=int(nnz_c),
-        )
-        levels.append(Level(A=A, P=gt, R=gt, relax=relax_state,
-                            coarse_inv=None))
-        plan.append(dict(
-            offsets=A.offsets, dims=dims, cdims=cdims, creach=creach,
-            shape=A.shape, nnz=A.nnz, keep_idx=keep_idx, c_offs=c_offs,
-            c_nnz=int(nnz_c), dtype=dtype,
-        ))
-        A, dims = Ac, cdims
-
-    # coarsest: densify + invert on device (the matrix is tiny; staying
-    # resident avoids a slow device→host pull on tunnelled setups)
+    # prediction unavailable: sequential compile-as-you-go
+    A = _build_sequential(
+        A, dims, eps, prm, relaxation, relax_factor, dtype, levels, plan
+    )
     levels.append(
         Level(A=A, P=None, R=None, relax=None,
               coarse_inv=_dia_dense_inverse(A))
@@ -383,14 +700,10 @@ def build_grid_hierarchy(
     return tuple(levels), prm, plan
 
 
-def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
-    """Densify a (small) DIA matrix and invert it, all on device in ONE
-    program — eager per-diagonal updates would cost a dispatch round trip
-    each on tunnelled devices."""
-    n = A.shape[0]
-    offsets = A.offsets
+def _densify_inv_fn(offsets, n):
+    """The coarsest-level densify+invert program (shared by the eager and
+    the AOT-compiled paths)."""
 
-    @jax.jit
     def densify_inv(data):
         offs = jnp.asarray(offsets)[:, None]              # (D, 1)
         rows = jnp.arange(n)[None, :]                     # (1, n)
@@ -413,7 +726,42 @@ def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
         )
         return jnp.linalg.inv(dense).astype(data.dtype)
 
-    return densify_inv(A.data)
+    return densify_inv
+
+
+def _dia_dense_inverse(A: DiaMatrix) -> jax.Array:
+    """Densify a (small) DIA matrix and invert it, all on device in ONE
+    program — eager per-diagonal updates would cost a dispatch round trip
+    each on tunnelled devices."""
+    return jax.jit(_densify_inv_fn(A.offsets, A.shape[0]))(A.data)
+
+
+def _make_dense_inverse_compiled(offsets, n, dtype):
+    """AOT-compile the coarsest densify+invert for concurrent setup."""
+    f = jax.jit(_densify_inv_fn(tuple(offsets), n))
+    return f.lower(
+        jax.ShapeDtypeStruct((len(offsets), n), dtype)
+    ).compile()
+
+
+def _warm_relax_program(relaxation, offsets, n, dtype):
+    """Pre-populate the jit cache for the per-level relax-state programs
+    (tiny, but each costs a compile round trip on tunnelled devices)."""
+    try:
+        from ..relaxation.spai0 import SPAI0
+        from ..relaxation.damped_jacobi import DampedJacobi
+
+        offsets = tuple(offsets)
+        if 0 not in offsets:
+            return
+        dia_idx = offsets.index(0)
+        z = jnp.zeros((len(offsets), n), dtype)
+        if isinstance(relaxation, SPAI0):
+            _spai0_arrays(z, dia_idx)
+        elif isinstance(relaxation, DampedJacobi):
+            _jacobi_arrays(z, dia_idx)
+    except Exception:
+        pass
 
 
 class GridAMG:
@@ -437,9 +785,11 @@ class GridAMG:
             A = A.astype(dtype)
         self.dtype = dtype
         self.relaxation = relaxation or rlx.SPAI0()
+        self.setup_stats = {}
         self.levels, self.prm, self._plan = build_grid_hierarchy(
             A, dims, params=params, relaxation=self.relaxation,
             relax_factor=relax_factor, eps_strong=eps_strong, dtype=dtype,
+            setup_stats=self.setup_stats,
         )
         self._rebuilders = None
 

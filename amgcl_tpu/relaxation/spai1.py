@@ -30,45 +30,78 @@ class SPAI1State:
     M: SparseMatrix
 
 
+def _csr_value_lookup(keys_sorted, data, q):
+    """Vectorized lookup of CSR entries by flat key q = row*n + col; the
+    canonical CSR order makes the key array globally sorted, so one
+    binary search + zero fill answers every query."""
+    pos = np.searchsorted(keys_sorted, q.ravel())
+    np.minimum(pos, len(keys_sorted) - 1, out=pos)
+    kk = keys_sorted[pos]
+    out = data[pos]
+    out[kk != q.ravel()] = 0.0
+    return out.reshape(q.shape)
+
+
 @dataclasses.dataclass
 class SPAI1:
     def setup(self, A_host: sp.csr_matrix, A_dev: SparseMatrix) -> SPAI1State:
+        """Fully vectorized setup (the reference notes SPAI(1) setup is
+        expensive and parallelizes it, spai1.hpp:53; here every per-row
+        least-squares is batched):
+
+        Gram entries G_i[a,b] = <A_{J_i[a]}, A_{J_i[b]}> are exactly the
+        (J_i[a], J_i[b]) entries of B = A Aᵀ — one scipy SpGEMM plus a
+        sorted-key binary-search lookup replaces all per-row slicing; the
+        padded per-row systems solve as a single batched np.linalg.solve.
+        """
         A = sp.csr_matrix(A_host)
         A.sort_indices()
         n = A.shape[0]
-        AT = A.T.tocsr()  # columns of A by row
-
         counts = np.diff(A.indptr)
-        K = int(counts.max())
-        mvals = np.zeros(A.nnz)
+        K = int(counts.max()) if n else 1
 
-        # Batch rows by pattern size to keep the padded LS well-conditioned.
-        for sz in np.unique(counts):
-            rows = np.nonzero(counts == sz)[0]
-            J = np.zeros((len(rows), sz), dtype=np.int64)
-            for t, i in enumerate(rows):
-                J[t] = A.indices[A.indptr[i] : A.indptr[i] + sz]
-            # Union pattern per row: K_i = pattern of A[J_i, :]. Build dense
-            # normal equations instead: m_i = e_i A_Jᵀ (A_J A_Jᵀ)^{-1} with
-            # A_J = A[J_i, :]; Gram entries are sparse dot products.
-            G = np.empty((len(rows), sz, sz))
-            b = np.empty((len(rows), sz))
-            for t, i in enumerate(rows):
-                sub = A[J[t]]  # (sz, n) sparse
-                G[t] = (sub @ sub.T).todense()
-                b[t] = np.asarray(sub[:, i].todense()).ravel()
-            # Solve G m = b (normal equations of min ||e_i - m A_J||).
-            try:
-                m = np.linalg.solve(G, b[..., None])[..., 0]
-            except np.linalg.LinAlgError:
-                m = np.linalg.lstsq(
-                    G.reshape(-1, sz, sz).transpose(0, 1, 2).reshape(-1, sz),
-                    b.reshape(-1, sz),
-                    rcond=None,
-                )[0]
-            for t, i in enumerate(rows):
-                mvals[A.indptr[i] : A.indptr[i] + sz] = m[t]
+        # padded per-row pattern J (n, K); pad slots repeat the row itself
+        # (they are masked out of the solve via identity padding below)
+        J = np.zeros((n, K), dtype=np.int64)
+        rows = np.repeat(np.arange(n), counts)
+        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        J[:] = np.arange(n)[:, None]
+        J[rows, offs] = A.indices
 
+        B = sp.csr_matrix(A @ A.T)
+        B.sort_indices()
+        Brows = np.repeat(np.arange(n), np.diff(B.indptr)).astype(np.int64)
+        Bkeys = Brows * n + B.indices.astype(np.int64)
+
+        # G = B[J[:, :, None], J[:, None, :]]  (n, K, K) via flat lookup
+        G = _csr_value_lookup(
+            Bkeys, B.data, J[:, :, None] * np.int64(n) + J[:, None, :]
+        )
+        # rhs b[a] = A[J[a], i]
+        Akeys = rows * np.int64(n) + A.indices.astype(np.int64)
+        b = _csr_value_lookup(
+            Akeys, A.data, J * np.int64(n) + np.arange(n)[:, None]
+        )
+
+        # identity-pad the unused slots so one batched solve covers all
+        # row sizes: pad rows/cols of G become e_a with b=0 → m_pad = 0
+        slot = np.arange(K)
+        pad = slot[None, :] >= counts[:, None]          # (n, K)
+        padm = pad[:, :, None] | pad[:, None, :]
+        G[padm] = 0.0
+        da = np.nonzero(pad)
+        G[da[0], da[1], da[1]] = 1.0
+        b[pad] = 0.0
+
+        try:
+            m = np.linalg.solve(G, b[..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            # singular rows: ridge-regularize only those
+            sing = np.abs(np.linalg.det(G)) < 1e-300
+            G[sing] += 1e-12 * np.eye(K)
+            m = np.linalg.solve(G, b[..., None])[..., 0]
+
+        mvals = m[rows, offs]
         from ..ops.formats import from_scipy_auto
         M = sp.csr_matrix((mvals, A.indices, A.indptr), shape=A.shape)
         return SPAI1State(M=from_scipy_auto(M, dtype=A_dev.dtype))

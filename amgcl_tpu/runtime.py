@@ -32,6 +32,27 @@ _AMG_KEYS = {
     "npre", "npost", "ncycle", "pre_cycles",
 }
 
+# Per-solver parameter surfaces (reference: each solver's params struct +
+# check_params; e.g. solver/cg.hpp `{"tol","maxiter","ns_search",...}`).
+# One shared set would silently accept e.g. solver.type=cg with M=50.
+_COMMON_SOLVER_KEYS = {"tol", "abstol", "maxiter", "verbose"}
+_SOLVER_KEYS = {
+    "cg": {"ns_search"},
+    "bicgstab": {"ns_search", "precond_side"},
+    "bicgstabl": {"ns_search", "L"},
+    "gmres": {"ns_search", "M"},
+    "fgmres": {"ns_search", "M"},
+    "lgmres": {"ns_search", "M", "K"},
+    "idrs": {"ns_search", "s", "omega_angle", "replacement"},
+    "richardson": {"ns_search", "damping"},
+    "preonly": set(),
+    "refine": {"inner", "inner_tol", "inner_maxiter"},
+}
+
+
+def solver_param_keys(stype: str) -> set:
+    return _COMMON_SOLVER_KEYS | _SOLVER_KEYS.get(stype, set())
+
 _DTYPES = {
     "float32": jnp.float32,
     "float64": jnp.float64,
@@ -83,13 +104,7 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
     stype = sprm.pop("type", "cg")
     if stype not in SOLVERS:
         raise ValueError(f"unknown solver type {stype!r}")
-    _check_keys(
-        sprm,
-        {"tol", "abstol", "maxiter", "M", "damping", "verbose", "L",
-         "delta", "s", "K", "ns_search", "omega", "inner", "inner_tol",
-         "inner_maxiter", "precond_side"},
-        "solver",
-    )
+    _check_keys(sprm, solver_param_keys(stype), f"solver({stype})")
 
     pprm = dict(config.get("precond", {}))
     pclass = pprm.pop("class", "amg")
@@ -244,6 +259,58 @@ def make_solver_from_config(A, config: dict | None = None, **kw) -> Solver:
         return Solver(
             A, solver=stype, precond=P, solver_dtype=solver_dtype,
             precond_dtype=precond_dtype, **sprm,
+        )
+
+    if pclass == "nested":
+        # A full inner make_solver used as the preconditioner, composed
+        # from the config tree alone (reference: runtime 'nested' class,
+        # amgcl/preconditioner/runtime.hpp:54-98).
+        from .precond.nested import NestedSolverPrecond
+
+        _check_keys(
+            pprm,
+            {"solver", "precond", "block", "solver_dtype", "precond_dtype"},
+            "precond",
+        )
+        pprm.setdefault("solver_dtype", "float32")
+        inner = make_solver_from_config(A, pprm)
+        P = NestedSolverPrecond(inner)
+        return Solver(
+            A, solver=stype, precond=P, solver_dtype=solver_dtype,
+            precond_dtype=precond_dtype, **sprm,
+        )
+
+    if pclass in ("deflation", "deflated_solver"):
+        # Deflated Krylov from config (reference: deflated_solver.hpp:45);
+        # "vectors" gives explicit deflation vectors, constant=True the
+        # constant vector.
+        import numpy as np
+
+        from .precond.deflation import DeflatedSolver
+
+        _check_keys(
+            pprm,
+            {"vectors", "constant", "coarsening", "relax", "inner_precond"},
+            "precond",
+        )
+        n = A.shape[0]
+        if "vectors" in pprm:
+            Z = np.asarray(pprm.pop("vectors"), dtype=np.float64)
+            if Z.ndim != 2 or Z.shape[0] != n:
+                raise ValueError(
+                    f"deflation vectors must be (n, k), got {Z.shape}"
+                )
+        elif pprm.pop("constant", False):
+            Z = np.ones((n, 1))
+        else:
+            raise ValueError(
+                "deflation requires 'vectors' or 'constant': true"
+            )
+        pprm.pop("constant", None)
+        inner_p = pprm.pop("inner_precond", "amg")
+        return DeflatedSolver(
+            A, Z, solver=stype, precond=inner_p,
+            solver_dtype=solver_dtype, precond_dtype=precond_dtype, **sprm,
         )
 
     raise ValueError(f"unknown preconditioner class {pclass!r}")

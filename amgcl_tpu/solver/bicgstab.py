@@ -25,6 +25,7 @@ def bicgstab(
     tol=1e-8,
     abstol=1e-30,
     maxiter=100,
+    ns_search=False,
     inner_product=blas1.inner_product,
     precond_side: str = "right",
     verbose=False,
@@ -43,7 +44,9 @@ def bicgstab(
     norm = norm_of(inner_product)
     x = jnp.zeros_like(rhs) if x0 is None else x0
 
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    from .common import zero_rhs_guard
+    x, norm_rhs = zero_rhs_guard(rhs, x, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
     r = rhs - Aop(x)
     rhat = r
     res = norm(r)

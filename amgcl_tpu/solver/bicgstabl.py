@@ -28,6 +28,7 @@ def bicgstabl(
     abstol=1e-30,
     maxiter=100,
     L=2,
+    ns_search=False,
     inner_product=blas1.inner_product,
     verbose=False,
 ):
@@ -40,7 +41,9 @@ def bicgstabl(
 
     Ahat = lambda v: Aop(Pop(v))
 
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    from .common import zero_rhs_guard
+    x_init, norm_rhs = zero_rhs_guard(rhs, x_init, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
     r0 = rhs - Aop(x_init)
     rtilde = r0
     res0 = norm(r0)

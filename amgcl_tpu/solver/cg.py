@@ -29,17 +29,18 @@ def cg(
     inner_product=blas1.inner_product,
     verbose=False,
 ):
-    """ns_search: when rhs is zero, keep iterating from x0 toward a
-    nullspace vector instead of returning zero (reference cg.hpp `ns_search`
-    param) — the zero-rhs normalization used here makes this the default
-    behaviour, the flag is accepted for parameter parity."""
-    del ns_search
+    """ns_search: when rhs is numerically zero, keep iterating from x0
+    toward a nullspace vector of A instead of returning x = 0 at once
+    (reference cg.hpp:162-169 `ns_search`)."""
+    from .common import zero_rhs_guard
+
     Aop = as_operator(A)
     Pop = as_precond(P)
     norm = norm_of(inner_product)
     x = jnp.zeros_like(rhs) if x0 is None else x0
 
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    x, norm_rhs = zero_rhs_guard(rhs, x, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
     r = rhs - Aop(x)
     res = norm(r)
     one = jnp.asarray(1.0, rhs.dtype)

@@ -62,6 +62,26 @@ def stopping(rhs, tol, abstol, inner):
     return safe, eps
 
 
+def zero_rhs_guard(rhs, x0, ns_search, inner):
+    """The reference's zero-rhs policy (amgcl/solver/cg.hpp:162-169,
+    mirrored by every Krylov solver): when |rhs| is numerically zero,
+    ns_search=False zeroes the initial guess so the loop exits
+    immediately with x = 0 and 0 iterations; ns_search=True instead
+    normalizes by 1 and keeps iterating from x0 toward a null-space
+    vector of A.  Returns (x0', norm_rhs').
+
+    Deviation from the reference: the zero test is exact (|rhs| == 0)
+    rather than machine-epsilon — the mixed-precision defect-correction
+    driver (solver/refine.py) legitimately passes inner right-hand sides
+    of magnitude below f32 epsilon, which must still be solved."""
+    nrm = norm_of(inner)(rhs)
+    is_zero = nrm == 0
+    safe = jnp.where(is_zero, jnp.ones_like(nrm), nrm)
+    if not ns_search:
+        x0 = jnp.where(is_zero, jnp.zeros_like(x0), x0)
+    return x0, safe
+
+
 def progress_printer(verbose: bool, every: int = 5):
     """Residual trace hook (reference: cg.hpp:199-200 prints every 5
     iterations under prm.verbose).  Returns a function usable inside

@@ -45,13 +45,15 @@ def _solve_upper(H, g, j):
 
 def _gmres_impl(
     Aop, Pop, rhs, x, *, tol, abstol, maxiter, m, inner_product, flexible,
-    verbose=False,
+    ns_search=False, verbose=False,
 ):
     norm = norm_of(inner_product)
     progress = progress_printer(verbose)
     n = rhs.shape[0]
     dtype = rhs.dtype
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    from .common import zero_rhs_guard
+    x, norm_rhs = zero_rhs_guard(rhs, x, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
 
     def arnoldi_cycle(x, it_total):
         r = rhs - Aop(x)
@@ -146,6 +148,7 @@ def gmres(
     abstol=1e-30,
     maxiter=100,
     M=30,
+    ns_search=False,
     inner_product=blas1.inner_product,
     verbose=False,
 ):
@@ -153,7 +156,8 @@ def gmres(
     return _gmres_impl(
         as_operator(A), as_precond(P), rhs, x,
         tol=tol, abstol=abstol, maxiter=maxiter, m=M,
-        inner_product=inner_product, flexible=False, verbose=verbose,
+        inner_product=inner_product, flexible=False, ns_search=ns_search,
+        verbose=verbose,
     )
 
 
@@ -167,6 +171,7 @@ def fgmres(
     abstol=1e-30,
     maxiter=100,
     M=30,
+    ns_search=False,
     inner_product=blas1.inner_product,
     verbose=False,
 ):
@@ -174,5 +179,6 @@ def fgmres(
     return _gmres_impl(
         as_operator(A), as_precond(P), rhs, x,
         tol=tol, abstol=abstol, maxiter=maxiter, m=M,
-        inner_product=inner_product, flexible=True, verbose=verbose,
+        inner_product=inner_product, flexible=True, ns_search=ns_search,
+        verbose=verbose,
     )

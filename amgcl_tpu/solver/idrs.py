@@ -30,6 +30,7 @@ def idrs(
     s=4,
     omega_angle=0.7,
     replacement=False,
+    ns_search=False,
     inner_product=blas1.inner_product,
     verbose=False,
 ):
@@ -41,7 +42,9 @@ def idrs(
     x_init = jnp.zeros_like(rhs) if x0 is None else x0
     Ahat = lambda v: Aop(Pop(v))
 
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    from .common import zero_rhs_guard
+    x_init, norm_rhs = zero_rhs_guard(rhs, x_init, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
     r0 = rhs - Aop(x_init)
     res0 = norm(r0)
 

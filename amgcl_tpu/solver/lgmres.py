@@ -31,6 +31,7 @@ def lgmres(
     maxiter=100,
     M=30,
     K=3,
+    ns_search=False,
     inner_product=blas1.inner_product,
     verbose=False,
 ):
@@ -42,7 +43,9 @@ def lgmres(
     x_init = jnp.zeros_like(rhs) if x0 is None else x0
     Ahat = lambda v: Aop(Pop(v))
 
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    from .common import zero_rhs_guard
+    x_init, norm_rhs = zero_rhs_guard(rhs, x_init, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
     m = M
 
     def restart_cycle(y, Z, nz, it_total):

@@ -25,6 +25,7 @@ def richardson(
     abstol=1e-30,
     maxiter=100,
     damping=1.0,
+    ns_search=False,
     inner_product=blas1.inner_product,
     verbose=False,
 ):
@@ -32,7 +33,9 @@ def richardson(
     Pop = as_precond(P)
     norm = norm_of(inner_product)
     x = jnp.zeros_like(rhs) if x0 is None else x0
-    norm_rhs, eps = stopping(rhs, tol, abstol, inner_product)
+    from .common import zero_rhs_guard
+    x, norm_rhs = zero_rhs_guard(rhs, x, ns_search, inner_product)
+    eps = jnp.maximum(tol * norm_rhs, jnp.asarray(abstol, rhs.dtype))
     r = rhs - Aop(x)
     res = norm(r)
     progress = progress_printer(verbose)

@@ -22,6 +22,13 @@ import time
 
 
 def main():
+    # Sandboxed hosts fault fresh pages at ~MB/s; warm the heap first so
+    # host-side assembly/conversions run at memory speed.
+    import sys as _sys
+    _sys.path.insert(0, ".")
+    from amgcl_tpu.utils.hostmem import ensure_fast_heap
+    ensure_fast_heap()
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_amgcl")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -54,6 +61,7 @@ def main():
         coarsening=GridAggregation(dims=(n, n, n)),
     )
     setup_s = time.time() - t0
+    sstats = getattr(S.precond, "setup_stats", {})
 
     x0 = jnp.zeros_like(rhs)
 
@@ -74,7 +82,8 @@ def main():
     # f64 device residual (scalar download only).
     r = rhs - spmv(A, x.astype(jnp.float64))
     rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs))
-    assert rel < 1e-7, f"did not converge: {rel}"
+    # the gate matches the metric's claim: true f64 residual below 1e-8
+    assert rel < 1e-8, f"did not converge to 1e-8: {rel}"
 
     print(
         json.dumps(
@@ -88,7 +97,10 @@ def main():
     )
     print(
         f"# iters={iters} rel_resid={rel:.2e} assemble={assemble_s:.2f}s "
-        f"setup={setup_s:.1f}s solve={solve_s:.4f}s "
+        f"setup={setup_s:.1f}s (compile={sstats.get('compile_s', -1):.1f}s "
+        f"execute={sstats.get('execute_s', -1):.1f}s "
+        f"predicted={sstats.get('predicted')}) "
+        f"solve={solve_s:.4f}s "
         f"(baseline: amgcl CUDA/K80 setup 1.33s solve 0.55s @ 24 iters)",
         file=sys.stderr,
     )

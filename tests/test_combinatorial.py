@@ -68,3 +68,18 @@ def test_coarsening_pmis_cross(prob, coarsening):
     if coarsening == "smoothed_aggregation":
         _solve(A, rhs, solver="cg",
                coarsening=make_coarsening(coarsening, aggregates="pmis"))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("solver", KRYLOV)
+@pytest.mark.parametrize("smoother", SMOOTHERS)
+@pytest.mark.parametrize("coarsening", COARSENINGS)
+def test_full_cross(prob, solver, smoother, coarsening):
+    """The complete solver × smoother × coarsening product — the exact
+    shape of the reference's sweep (tests/test_solver.hpp:120-208).
+    Marked slow: run with `pytest -m slow` (the rotating cross above
+    covers every pair in the default run)."""
+    A, rhs = prob
+    _solve(A, rhs, solver=solver,
+           relaxation=make_smoother(smoother),
+           coarsening=make_coarsening(coarsening))

@@ -363,3 +363,40 @@ def test_device_input_dist_solver():
 
     with pytest.raises(ValueError):
         DistSolver(Ad, "cg", precond="amg", n_shards=4)   # needs coupled
+
+
+@pytest.mark.skipif(NDEV < 4, reason="needs multiple devices")
+def test_dist_block_formats():
+    """Block systems shard in block formats (DistBlockDia / block
+    DistEllH) and match the serial block solver's iteration count —
+    reference: the amgcl/mpi/ static_matrix block paths."""
+    import jax.numpy as jnp
+    from amgcl_tpu.models.elasticity import elasticity2d
+    from amgcl_tpu import make_block_solver
+    from amgcl_tpu.parallel.dist import DistBlockDia, DistEllH
+    from amgcl_tpu.parallel.partition import make_dist_matrix
+    import scipy.sparse as sp
+
+    A, rhs, _ = elasticity2d(12)       # 2x2 blocks
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+
+    # the partitioner must pick a *block* format for the sharded operator
+    pad = (-n) % (4 * 2)
+    Ap = sp.block_diag([A, sp.eye(pad)], format="csr") if pad else A
+    arrs, make_local = make_dist_matrix(Ap, 4, block=2, dtype=jnp.float64)
+    local = make_local(tuple(a[0] for a in arrs))
+    assert isinstance(local, (DistBlockDia, DistEllH))
+    assert local.block == 2
+
+    serial = make_block_solver(A, block=2, solver="cg", tol=1e-8,
+                               maxiter=200)
+    _, i_ser = serial(rhs)
+
+    dist = DistSolver(
+        A, solver="cg", n_shards=4, block=2, precond="relaxation",
+        tol=1e-8, maxiter=400,
+    )
+    x, i_dist = dist(rhs)
+    r = rhs - A @ np.asarray(x, dtype=np.float64)[: len(rhs)]
+    assert np.linalg.norm(r) / np.linalg.norm(rhs) < 1e-7
