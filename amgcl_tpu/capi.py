@@ -114,3 +114,150 @@ def create_dist(n: int, ptr_addr: int, col_addr: int, val_addr: int,
     _next_id[0] += 1
     _handles[h] = S
     return h
+
+
+# ----------------------------------------------------------------------
+# Parameter handles (reference: amgcl_params_create/seti/setf/sets/
+# read_json/destroy, lib/amgcl.h:46-63) — a dict addressed with the same
+# dotted paths as the property tree.
+# ----------------------------------------------------------------------
+
+def params_create() -> int:
+    h = _next_id[0]
+    _next_id[0] += 1
+    _handles[h] = {"__params__": {}}
+    return h
+
+
+def _params_set(handle: int, name: str, value) -> None:
+    from .runtime import expand_dotted
+
+    d = _handles[handle]["__params__"]
+    for k, v in expand_dotted({name: value}).items():
+        if isinstance(v, dict) and isinstance(d.get(k), dict):
+            _deep_update(d[k], v)
+        else:
+            d[k] = v
+
+
+def _deep_update(dst, src):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def params_seti(handle: int, name: str, value: int) -> None:
+    _params_set(handle, name, int(value))
+
+
+def params_setf(handle: int, name: str, value: float) -> None:
+    _params_set(handle, name, float(value))
+
+
+def params_sets(handle: int, name: str, value: str) -> None:
+    try:
+        value = json.loads(value)
+    except json.JSONDecodeError:
+        pass
+    _params_set(handle, name, value)
+
+
+def params_read_json(handle: int, fname: str) -> None:
+    with open(fname) as f:
+        _deep_update(_handles[handle]["__params__"], json.load(f))
+
+
+def _params_json_of(params_handle: int) -> str:
+    if params_handle and params_handle in _handles:
+        return json.dumps(_handles[params_handle]["__params__"])
+    return ""
+
+
+def create_p(n, ptr_addr, col_addr, val_addr, params_handle: int) -> int:
+    """Solver create with a params *handle* (amgcl_solver_create parity)."""
+    return create(n, ptr_addr, col_addr, val_addr,
+                  _params_json_of(params_handle))
+
+
+def _csr_from_f(n, ptr_addr, col_addr, val_addr):
+    """1-based (Fortran) CSR arrays → scipy (amgcl_*_create_f parity)."""
+    indptr = _view(ptr_addr, n + 1, ctypes.c_int64).copy() - 1
+    nnz = int(indptr[-1])
+    indices = _view(col_addr, nnz, ctypes.c_int64).copy() - 1
+    data = _view(val_addr, nnz, ctypes.c_double).copy()
+    return sp.csr_matrix(
+        (data, indices.astype(np.int64), indptr), shape=(n, n)
+    )
+
+
+def create_f(n, ptr_addr, col_addr, val_addr, params_handle: int) -> int:
+    """Fortran-indexed solver create (reference amgcl_solver_create_f)."""
+    from .runtime import make_solver_from_config
+
+    A = _csr_from_f(n, ptr_addr, col_addr, val_addr)
+    config = json.loads(_params_json_of(params_handle) or "{}")
+    S = make_solver_from_config(A, config)
+    h = _next_id[0]
+    _next_id[0] += 1
+    _handles[h] = S
+    return h
+
+
+# ----------------------------------------------------------------------
+# Preconditioner-only handles (reference: amgcl_precond_create/apply/
+# report/destroy, lib/amgcl.h:64-90)
+# ----------------------------------------------------------------------
+
+def _precond_from_config(A, config):
+    from .runtime import make_solver_from_config
+
+    cfg = dict(config or {})
+    cfg["solver"] = {"type": "preonly"}
+    return make_solver_from_config(A, cfg)
+
+
+def precond_create(n, ptr_addr, col_addr, val_addr,
+                   params_handle: int) -> int:
+    indptr = _view(ptr_addr, n + 1, ctypes.c_int64).copy()
+    nnz = int(indptr[-1])
+    indices = _view(col_addr, nnz, ctypes.c_int64).copy()
+    data = _view(val_addr, nnz, ctypes.c_double).copy()
+    A = sp.csr_matrix(
+        (data, indices.astype(np.int64), indptr), shape=(n, n)
+    )
+    config = json.loads(_params_json_of(params_handle) or "{}")
+    S = _precond_from_config(A, config)
+    h = _next_id[0]
+    _next_id[0] += 1
+    _handles[h] = S
+    return h
+
+
+def precond_create_f(n, ptr_addr, col_addr, val_addr,
+                     params_handle: int) -> int:
+    A = _csr_from_f(n, ptr_addr, col_addr, val_addr)
+    config = json.loads(_params_json_of(params_handle) or "{}")
+    S = _precond_from_config(A, config)
+    h = _next_id[0]
+    _next_id[0] += 1
+    _handles[h] = S
+    return h
+
+
+def precond_apply(handle: int, rhs_addr: int, x_addr: int, n: int) -> int:
+    """x = M⁻¹ rhs (amgcl_precond_apply parity: one preconditioner
+    application, executed as the preonly solver)."""
+    S = _handles[handle]
+    rhs = _view(rhs_addr, n, ctypes.c_double).copy()
+    x_out = _view(x_addr, n, ctypes.c_double)
+    x, _ = S(rhs)
+    x_out[:] = np.asarray(x, dtype=np.float64)
+    return 0
+
+
+def precond_report(handle: int) -> str:
+    S = _handles[handle]
+    P = getattr(S, "precond", S)
+    return repr(P)

@@ -207,6 +207,13 @@ def main(argv=None):
     print(f"Error:      {float(info.error):.6e}")
     print()
     print(prof.report())
+    if getattr(S, "shard_profilers", None):
+        from .utils.profiler import aggregate_profiles
+
+        # min/avg/max across shards (reference capability:
+        # perf_counter/mpi_aggregator.hpp)
+        print()
+        print(aggregate_profiles(S.shard_profilers))
 
     if args.output:
         from .utils.io import mm_write, bin_write

@@ -11,7 +11,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .formats import SparseMatrix, DiaMatrix, BlockDiaMatrix
+from .formats import (
+    SparseMatrix, DiaMatrix, BlockDiaMatrix, HybridEllMatrix,
+)
 
 
 def _pallas_ok() -> bool:
@@ -92,6 +94,13 @@ def spmv(A, x: jax.Array) -> jax.Array:
         return _spmv_dia(A, x)
     if isinstance(A, BlockDiaMatrix):
         return _spmv_block_dia(A, x)
+    if isinstance(A, HybridEllMatrix):
+        out_dtype = x.dtype
+        xc = x.astype(A.dtype)
+        y = jnp.sum(A.d0 * xc[A.c0], axis=0)
+        for d, c, r in A.tiers:
+            y = y.at[r].add(jnp.sum(d * xc[c], axis=0))
+        return y.astype(out_dtype)
     K, b, _, nb = A.data.shape
     out_dtype = x.dtype
     xc = x.astype(A.data.dtype)
@@ -112,6 +121,15 @@ def spmv_t(A: SparseMatrix, x: jax.Array) -> jax.Array:
     transposes for hierarchy operators (built at setup) but expose this for
     matrix-free uses.
     """
+    if isinstance(A, HybridEllMatrix):
+        n, m = A.shape
+        xc = x.astype(A.dtype)
+        y = jnp.zeros(m, dtype=A.dtype)
+        contrib = A.d0 * xc[None, :]
+        y = y.at[A.c0.ravel()].add(contrib.ravel())
+        for d, c, r in A.tiers:
+            y = y.at[c.ravel()].add((d * xc[r][None, :]).ravel())
+        return y.astype(x.dtype)
     K, b, _, nb = A.data.shape
     nbc = A.shape[1] // b
     xc = x.astype(A.data.dtype)

@@ -228,8 +228,13 @@ class DistSolver:
             self.local_prm = local_prm
             self.levels_stacked = (dlv, tail)
         elif precond == "amg":
+            from ..utils.profiler import Profiler
+
             locals_ = []
+            self.shard_profilers = []
             for s in range(S):
+                shard_prof = Profiler(f"shard{s}")
+                self.shard_profilers.append(shard_prof)
                 blk = sp.csr_matrix(
                     A[s * n_loc : (s + 1) * n_loc, s * n_loc : (s + 1) * n_loc]
                 )
@@ -245,16 +250,17 @@ class DistSolver:
                     coarsening = GridAggregation(
                         dims=(d0 // S,) + tuple(dims[1:])
                     )
-                locals_.append(
-                    AMG(
-                        blk,
-                        coarsening=coarsening,
-                        relaxation=relaxation,
-                        params=amg_params,
-                        block=block,
-                        dtype=precond_dtype,
+                with shard_prof.scope("local setup"):
+                    locals_.append(
+                        AMG(
+                            blk,
+                            coarsening=coarsening,
+                            relaxation=relaxation,
+                            params=amg_params,
+                            block=block,
+                            dtype=precond_dtype,
+                        )
                     )
-                )
             self.local_prm = locals_[0].prm
             self.levels_stacked = _stack_trees([a.levels for a in locals_])
             self._precond_kind = "amg"
@@ -301,9 +307,15 @@ class DistSolver:
                 )
                 for m in mats
             ]
-            states = [
-                relaxation.setup(b, m) for b, m in zip(blocks, mats)
-            ]
+            from ..utils.profiler import Profiler
+
+            self.shard_profilers = []
+            states = []
+            for s, (b, m) in enumerate(zip(blocks, mats)):
+                pr = Profiler(f"shard{s}")
+                self.shard_profilers.append(pr)
+                with pr.scope("local setup"):
+                    states.append(relaxation.setup(b, m))
             self.levels_stacked = _stack_trees(
                 [(s_, m) for s_, m in zip(states, mats)]
             )

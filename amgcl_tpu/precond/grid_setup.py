@@ -601,11 +601,14 @@ def build_grid_hierarchy(
     stats.update(predicted=False, fallback_level=None, compile_s=0.0,
                  execute_s=0.0)
 
+    import time as _t
+    t_pred = _t.perf_counter()
     specs = None
     try:
         specs, _ = _predict_plan(A, dims, prm, relax_factor, eps_strong)
     except Exception:
         specs = None
+    stats["predict_s"] = _t.perf_counter() - t_pred
 
     if specs:
         stats["predicted"] = True
@@ -683,7 +686,10 @@ def build_grid_hierarchy(
             time.perf_counter() - t0 - stats["execute_s"]
         )
         if coarse_inv is None:
+            stats["inv_fallback"] = True
+            t_inv = time.perf_counter()
             coarse_inv = _dia_dense_inverse(A)
+            stats["inv_s"] = time.perf_counter() - t_inv
         levels.append(
             Level(A=A, P=None, R=None, relax=None, coarse_inv=coarse_inv)
         )

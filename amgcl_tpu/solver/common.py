@@ -16,7 +16,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.formats import SparseMatrix, DiaMatrix, BlockDiaMatrix
+from ..ops.formats import (SparseMatrix, DiaMatrix, BlockDiaMatrix,
+                           HybridEllMatrix)
 from ..ops.spmv import spmv
 from ..ops import blas1
 
@@ -29,7 +30,8 @@ class SolveInfo(NamedTuple):
 def as_operator(A) -> Callable:
     """Accept a sparse matrix (any device format) or a linear-operator
     callable."""
-    if isinstance(A, (SparseMatrix, DiaMatrix, BlockDiaMatrix)):
+    if isinstance(A, (SparseMatrix, DiaMatrix, BlockDiaMatrix,
+                      HybridEllMatrix)):
         return lambda v: spmv(A, v)
     if callable(A):
         return A

@@ -76,3 +76,34 @@ def toc(_name=None):  # pragma: no cover - tic is a context manager
 
 def profile_report() -> str:
     return _global.report()
+
+
+def aggregate_profiles(profilers, name: str = "shards") -> str:
+    """Min/avg/max aggregation of per-shard profiler trees — the SPMD
+    analogue of the reference's MPI profile aggregator
+    (amgcl/perf_counter/mpi_aggregator.hpp: each node's timing reduced
+    across ranks).  Takes the per-shard Profiler objects collected during
+    distributed setup (the solve phase is a single SPMD program, so
+    per-shard timing exists only where work is genuinely per-shard)."""
+
+    def collect(node, path, out):
+        for child in node.children.values():
+            p = path + (child.name,)
+            out.setdefault(p, []).append(child.total)
+            collect(child, p, out)
+
+    table: dict[tuple, list] = {}
+    for pr in profilers:
+        collect(pr.root, (), table)
+
+    S = len(profilers)
+    lines = [f"[{name}: {S} shards]  min        avg        max"]
+    for path in sorted(table):
+        v = table[path]
+        pad = v + [0.0] * (S - len(v))
+        indent = "  " * len(path[:-1])
+        lines.append(
+            f"{indent}[{path[-1]}]"
+            f"  {min(pad):8.3f} s {sum(pad)/S:8.3f} s {max(pad):8.3f} s"
+        )
+    return "\n".join(lines)

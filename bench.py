@@ -99,6 +99,9 @@ def main():
         f"# iters={iters} rel_resid={rel:.2e} assemble={assemble_s:.2f}s "
         f"setup={setup_s:.1f}s (compile={sstats.get('compile_s', -1):.1f}s "
         f"execute={sstats.get('execute_s', -1):.1f}s "
+        f"predict={sstats.get('predict_s', -1):.1f}s "
+        f"inv_fb={sstats.get('inv_fallback', False)} "
+        f"inv={sstats.get('inv_s', 0):.1f}s "
         f"predicted={sstats.get('predicted')}) "
         f"solve={solve_s:.4f}s "
         f"(baseline: amgcl CUDA/K80 setup 1.33s solve 0.55s @ 24 iters)",

@@ -1,0 +1,78 @@
+"""Unstructured FEM Poisson benchmark — the poisson3Db-class problem
+(reference: docs/tutorial/poisson3Db.rst — 85,623 dof / 2.37M nnz
+unstructured FEM, BiCGStab + SA + SPAI0, tol 1e-8; CPU solve 0.592 s,
+CUDA solve 0.171 s @ 24 iters).
+
+The matrix is an honest same-class stand-in (P1 FEM on a jittered-
+lattice Delaunay tetrahedralization, shuffled row order — see
+amgcl_tpu/models/unstructured.py); nnz/row is lower than poisson3Db's
+quadratic-element 27.7, so --npoints scales the problem to comparable
+nnz.
+
+Prints one BENCH-style JSON line per configuration.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    from amgcl_tpu.utils.hostmem import ensure_fast_heap
+
+    ensure_fast_heap()
+
+    import numpy as np
+    import scipy.sparse as sp
+    import jax
+    import jax.numpy as jnp
+
+    npoints = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+
+    from amgcl_tpu.models.unstructured import fem_poisson_3d
+    from amgcl_tpu import make_solver
+    from amgcl_tpu.ops.spmv import spmv
+
+    t0 = time.time()
+    A, rhs = fem_poisson_3d(npoints)
+    A = sp.csr_matrix(A)
+    gen_s = time.time() - t0
+    print(f"# n={A.shape[0]} nnz={A.nnz} generate={gen_s:.1f}s",
+          file=sys.stderr)
+
+    for solver, label in (("bicgstab", "bicgstab"), ("cg", "cg")):
+        t0 = time.time()
+        S = make_solver(A, solver=solver, tol=1e-8, maxiter=200)
+        setup_s = time.time() - t0
+
+        x, info = S(rhs)                    # warm-up & compile
+        iters = int(info.iters)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            x, info = S(rhs)
+            _ = int(info.iters)
+            times.append(time.time() - t0)
+        solve_s = min(times)
+
+        r = jnp.asarray(rhs) - spmv(S.A_dev, x.astype(jnp.float64))
+        rel = float(jnp.linalg.norm(r)) / float(np.linalg.norm(rhs))
+        fmt = type(S.precond.levels[0].A).__name__
+
+        print(json.dumps({
+            "metric": f"fem3d_unstructured_{A.shape[0]}dof_{label}"
+                      "_amg_solve_to_1e-8",
+            "value": round(solve_s, 4),
+            "unit": "seconds",
+            "vs_baseline": round(0.171 / solve_s, 2),
+        }))
+        print(f"# {label}: iters={iters} rel={rel:.2e} setup={setup_s:.1f}s"
+              f" solve={solve_s:.4f}s L0={fmt} "
+              "(baseline: poisson3Db CUDA solve 0.171s @ 24 iters)",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

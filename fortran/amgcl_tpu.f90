@@ -59,6 +59,78 @@ module amgcl_tpu
        use iso_c_binding
        integer(c_int64_t), value :: handle
      end subroutine amgcl_tpu_solver_destroy
+
+     ! Parameter-list handles (reference fortran/amgcl.f90 params calls)
+     function amgcl_tpu_params_create() &
+          bind(C, name="amgcl_tpu_params_create") result(handle)
+       use iso_c_binding
+       integer(c_int64_t) :: handle
+     end function amgcl_tpu_params_create
+
+     subroutine amgcl_tpu_params_seti(prm, name, value) &
+          bind(C, name="amgcl_tpu_params_seti")
+       use iso_c_binding
+       integer(c_int64_t), value :: prm
+       character(kind=c_char), intent(in) :: name(*)
+       integer(c_int), value :: value
+     end subroutine amgcl_tpu_params_seti
+
+     subroutine amgcl_tpu_params_setf(prm, name, value) &
+          bind(C, name="amgcl_tpu_params_setf")
+       use iso_c_binding
+       integer(c_int64_t), value :: prm
+       character(kind=c_char), intent(in) :: name(*)
+       real(c_double), value :: value
+     end subroutine amgcl_tpu_params_setf
+
+     subroutine amgcl_tpu_params_sets(prm, name, value) &
+          bind(C, name="amgcl_tpu_params_sets")
+       use iso_c_binding
+       integer(c_int64_t), value :: prm
+       character(kind=c_char), intent(in) :: name(*)
+       character(kind=c_char), intent(in) :: value(*)
+     end subroutine amgcl_tpu_params_sets
+
+     ! Fortran-indexed (1-based ptr/col) solver create — the natural
+     ! call from Fortran code (reference: amgcl_solver_create_f)
+     function amgcl_tpu_solver_create_f(n, ptr, col, val, prm) &
+          bind(C, name="amgcl_tpu_solver_create_f") result(handle)
+       use iso_c_binding
+       integer(c_int64_t), value :: n
+       integer(c_int64_t), intent(in) :: ptr(*)
+       integer(c_int64_t), intent(in) :: col(*)
+       real(c_double), intent(in) :: val(*)
+       integer(c_int64_t), value :: prm
+       integer(c_int64_t) :: handle
+     end function amgcl_tpu_solver_create_f
+
+     ! Preconditioner-only handles (reference: amgcl_precond_*)
+     function amgcl_tpu_precond_create_f(n, ptr, col, val, prm) &
+          bind(C, name="amgcl_tpu_precond_create_f") result(handle)
+       use iso_c_binding
+       integer(c_int64_t), value :: n
+       integer(c_int64_t), intent(in) :: ptr(*)
+       integer(c_int64_t), intent(in) :: col(*)
+       real(c_double), intent(in) :: val(*)
+       integer(c_int64_t), value :: prm
+       integer(c_int64_t) :: handle
+     end function amgcl_tpu_precond_create_f
+
+     function amgcl_tpu_precond_apply(handle, rhs, x, n) &
+          bind(C, name="amgcl_tpu_precond_apply") result(rc)
+       use iso_c_binding
+       integer(c_int64_t), value :: handle
+       real(c_double), intent(in) :: rhs(*)
+       real(c_double), intent(inout) :: x(*)
+       integer(c_int64_t), value :: n
+       integer(c_int) :: rc
+     end function amgcl_tpu_precond_apply
+
+     subroutine amgcl_tpu_precond_report(handle) &
+          bind(C, name="amgcl_tpu_precond_report")
+       use iso_c_binding
+       integer(c_int64_t), value :: handle
+     end subroutine amgcl_tpu_precond_report
   end interface
 
 end module amgcl_tpu

@@ -53,6 +53,43 @@ amgcl_tpu_handle amgcl_tpu_dist_solver_create(
     int64_t n_shards,
     const char    *params_json);
 
+/* ---- parameter-list handles (reference: amgcl_params_*,
+ * lib/amgcl.h:46-63).  Names use the same dotted paths as the JSON
+ * config ("solver.tol", "precond.relax.type", ...). ---- */
+amgcl_tpu_handle amgcl_tpu_params_create(void);
+void amgcl_tpu_params_seti(amgcl_tpu_handle prm, const char *name,
+                           int value);
+void amgcl_tpu_params_setf(amgcl_tpu_handle prm, const char *name,
+                           double value);
+void amgcl_tpu_params_sets(amgcl_tpu_handle prm, const char *name,
+                           const char *value);
+void amgcl_tpu_params_read_json(amgcl_tpu_handle prm, const char *fname);
+/* destroy via amgcl_tpu_solver_destroy (handles share one table) */
+
+/* Solver create from a params handle; _f takes 1-based (Fortran)
+ * ptr/col arrays (reference: amgcl_solver_create / _create_f). */
+amgcl_tpu_handle amgcl_tpu_solver_create_prm(
+    int64_t n, const int64_t *ptr, const int64_t *col, const double *val,
+    amgcl_tpu_handle prm);
+amgcl_tpu_handle amgcl_tpu_solver_create_f(
+    int64_t n, const int64_t *ptr, const int64_t *col, const double *val,
+    amgcl_tpu_handle prm);
+
+/* ---- preconditioner-only handles (reference: amgcl_precond_*,
+ * lib/amgcl.h:64-90) ---- */
+amgcl_tpu_handle amgcl_tpu_precond_create(
+    int64_t n, const int64_t *ptr, const int64_t *col, const double *val,
+    amgcl_tpu_handle prm);
+amgcl_tpu_handle amgcl_tpu_precond_create_f(
+    int64_t n, const int64_t *ptr, const int64_t *col, const double *val,
+    amgcl_tpu_handle prm);
+/* x = M^{-1} rhs */
+int amgcl_tpu_precond_apply(amgcl_tpu_handle h, const double *rhs,
+                            double *x, int64_t n);
+/* print hierarchy structure to stdout */
+void amgcl_tpu_precond_report(amgcl_tpu_handle h);
+/* destroy via amgcl_tpu_solver_destroy */
+
 #ifdef __cplusplus
 }
 #endif

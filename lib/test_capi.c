@@ -65,6 +65,68 @@ int main(void) {
     }
     amgcl_tpu_solver_destroy(hd);
 
+    /* params handles + precond-only + Fortran-indexed create
+     * (reference surface: amgcl_params_*, amgcl_precond_*,
+     * amgcl_solver_create_f; lib/amgcl.h:46-100) */
+    amgcl_tpu_handle prm = amgcl_tpu_params_create();
+    if (prm <= 0) { fprintf(stderr, "params create failed\n"); return 6; }
+    amgcl_tpu_params_sets(prm, "solver.type", "cg");
+    amgcl_tpu_params_setf(prm, "solver.tol", 1e-8);
+    amgcl_tpu_params_seti(prm, "solver.maxiter", 500);
+    amgcl_tpu_params_sets(prm, "precond.class", "relaxation");
+    amgcl_tpu_params_sets(prm, "precond.relax.type", "spai0");
+
+    amgcl_tpu_handle hp = amgcl_tpu_solver_create_prm(n, ptr, col, val, prm);
+    if (hp <= 0) { fprintf(stderr, "create_prm failed\n"); return 7; }
+    for (int64_t i = 0; i < n; ++i) x[i] = 0.0;
+    rc = amgcl_tpu_solver_solve(hp, rhs, x, n, &iters, &error);
+    if (rc != 0 || error > 1e-6) {
+        fprintf(stderr, "prm solve failed: rc=%d err=%g\n", rc, error);
+        return 8;
+    }
+    amgcl_tpu_solver_destroy(hp);
+
+    /* 1-based (Fortran) arrays */
+    int64_t *ptr1 = malloc((n + 1) * sizeof(int64_t));
+    int64_t *col1 = malloc(3 * n * sizeof(int64_t));
+    for (int64_t i = 0; i <= n; ++i) ptr1[i] = ptr[i] + 1;
+    for (int64_t i = 0; i < nnz; ++i) col1[i] = col[i] + 1;
+    amgcl_tpu_handle hf = amgcl_tpu_solver_create_f(n, ptr1, col1, val, prm);
+    if (hf <= 0) { fprintf(stderr, "create_f failed\n"); return 9; }
+    for (int64_t i = 0; i < n; ++i) x[i] = 0.0;
+    rc = amgcl_tpu_solver_solve(hf, rhs, x, n, &iters, &error);
+    if (rc != 0 || error > 1e-6) {
+        fprintf(stderr, "f-indexed solve failed: rc=%d err=%g\n", rc, error);
+        return 10;
+    }
+    amgcl_tpu_solver_destroy(hf);
+
+    /* precond-only handle: one application must reduce the residual */
+    amgcl_tpu_handle pm = amgcl_tpu_params_create();
+    amgcl_tpu_params_sets(pm, "precond.class", "amg");
+    amgcl_tpu_params_seti(pm, "precond.coarse_enough", 8);
+    amgcl_tpu_handle hprec = amgcl_tpu_precond_create(n, ptr, col, val, pm);
+    if (hprec <= 0) { fprintf(stderr, "precond create failed\n"); return 11; }
+    amgcl_tpu_precond_report(hprec);
+    rc = amgcl_tpu_precond_apply(hprec, rhs, x, n);
+    if (rc != 0) { fprintf(stderr, "precond apply failed\n"); return 12; }
+    double rnorm = 0.0, bnorm = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        double ax = 2.0 * x[i];
+        if (i > 0) ax -= x[i - 1];
+        if (i < n - 1) ax -= x[i + 1];
+        rnorm += (rhs[i] - ax) * (rhs[i] - ax);
+        bnorm += rhs[i] * rhs[i];
+    }
+    printf("precond apply rel resid: %.3e\n", sqrt(rnorm / bnorm));
+    if (!(rnorm < bnorm)) {
+        fprintf(stderr, "precond apply did not reduce residual\n");
+        return 13;
+    }
+    amgcl_tpu_solver_destroy(hprec);
+    amgcl_tpu_solver_destroy(prm);
+    amgcl_tpu_solver_destroy(pm);
+
     printf("OK\n");
     return 0;
 }

@@ -43,7 +43,11 @@ def test_auto_format_selection():
     rng = np.random.default_rng(2)
     R = sp.random(500, 500, density=0.02, random_state=rng, format="csr")
     R = R + sp.eye(500)
-    assert isinstance(from_scipy_auto(sp.csr_matrix(R)), SparseMatrix)
+    picked = from_scipy_auto(sp.csr_matrix(R))
+    from amgcl_tpu.ops.formats import HybridEllMatrix
+    # wide-tailed random degrees now select the tiered (hybrid) ELL
+    assert isinstance(picked, (SparseMatrix, HybridEllMatrix))
+    assert not isinstance(picked, DiaMatrix)
 
 
 def test_grid_aggregate_ids():
