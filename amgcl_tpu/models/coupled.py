@@ -54,6 +54,50 @@ def stokes2d(n: int, eps: float = 1e-2, seed: int = 0):
     return A, rhs, pmask
 
 
+def stokes3d(n: int, eps: float = 1e-2):
+    """Stabilized equal-order 3D Stokes on an n×n×n grid — the scale
+    class of the reference's Stokes tutorial (docs/tutorial/Stokes.rst:
+    ucube, 554,496 dof): dof = 4n³ (3 velocity components + pressure),
+    n = 52 gives 562,432.  Velocity block = 3 stacked 3D Poissons; B =
+    central-difference gradients; pressure block = −eps·I.  Returns
+    (A, rhs, pmask) with pressure dofs last."""
+    from .poisson import poisson3d
+
+    K1, _ = poisson3d(n)
+    nu1 = K1.shape[0]
+    K = sp.block_diag([K1, K1, K1], format="csr")
+    nu = 3 * nu1
+    npr = nu1
+
+    idx = np.arange(nu1)
+    i = idx // (n * n)
+    j = (idx // n) % n
+    k = idx % n
+    strides = (n * n, n, 1)
+    coords = (i, j, k)
+    rows, cols, vals = [], [], []
+    for comp in range(3):
+        st = strides[comp]
+        c = coords[comp]
+        for d, s in ((-1, -0.5), (1, 0.5)):
+            m = (c + d >= 0) & (c + d < n)
+            rows.append(comp * nu1 + idx[m] + d * st)
+            cols.append(idx[m])
+            vals.append(np.full(int(m.sum()), s))
+    B = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(nu, npr),
+    ).tocsr()
+
+    C = -eps * sp.eye(npr)
+    A = sp.bmat([[K, B], [B.T, C]], format="csr")
+    A.sort_indices()
+    pmask = np.zeros(nu + npr, dtype=bool)
+    pmask[nu:] = True
+    rhs = np.ones(nu + npr)
+    return A, rhs, pmask
+
+
 def reservoir2d(n: int, seed: int = 0):
     """Two-phase reservoir-like block system (block size 2: pressure,
     saturation per cell) for CPR testing — pressure sub-block elliptic,

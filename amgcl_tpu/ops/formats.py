@@ -358,8 +358,8 @@ class BlockDiaMatrix:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["d0", "c0", "tiers"],
-    meta_fields=["shape", "nnz"],
+    data_fields=["d0", "c0", "tiers", "inv_perm"],
+    meta_fields=["shape", "nnz", "cuts"],
 )
 @dataclasses.dataclass(frozen=True)
 class HybridEllMatrix:
@@ -369,20 +369,26 @@ class HybridEllMatrix:
     hardware the padding is *gathered work*, so wide-tailed degree
     distributions (unstructured FEM is the reference's main workload,
     docs/tutorial/poisson3Db.rst) pay for their heaviest row everywhere.
-    Tier 0 stores the first k0 slots densely for all rows; each further
-    tier stores the next slot band only for the rows that need it
-    (row-index list + scatter-add).  Measured on chip: ~2.7x fewer
-    gathered elements and ~1.6x faster SpMV on an 86k-dof FEM matrix
-    than flat ELL (benchmarks/exp_unstructured_spmv2.py).
+
+    Rows are stored sorted by descending degree, so every tier covers a
+    *contiguous prefix* of the sorted rows: tier 0 holds slots [0, k0)
+    for all n rows, tier t holds its slot band for the first m_t sorted
+    rows.  Tier sums combine with static slice updates (TPU scatter is
+    as slow as the gathers this format removes — an earlier row-list +
+    scatter-add variant measured ~8x slower than flat ELL); the single
+    output gather y[inv_perm] restores original row order.  Column
+    indices stay in original numbering, so x is used unpermuted.
 
     Plays the role of the reference's hybrid/ELL formats on GPUs
     (e.g. amgcl/backend/viennacl.hpp hyb matrices)."""
 
-    d0: jax.Array          # (k0, n)
+    d0: jax.Array          # (k0, n) — sorted row order
     c0: jax.Array          # (k0, n) int32
-    tiers: tuple           # of (data (w, m), cols (w, m), rows (m,))
+    tiers: tuple           # of (data (w, m_t), cols (w, m_t)) prefixes
+    inv_perm: jax.Array    # (n,) int32: original row -> sorted position
     shape: tuple
     nnz: int
+    cuts: tuple            # slot cuts (k0, k1, ..., K) for reporting
 
     @property
     def dtype(self):
@@ -399,17 +405,16 @@ class HybridEllMatrix:
     @property
     def nbytes(self) -> int:
         b = self.d0.size * self.d0.dtype.itemsize + self.c0.size * 4
-        for d, c, r in self.tiers:
-            b += d.size * d.dtype.itemsize + c.size * 4 + r.size * 4
+        b += self.inv_perm.size * 4
+        for d, c in self.tiers:
+            b += d.size * d.dtype.itemsize + c.size * 4
         return b
 
     def astype(self, dtype) -> "HybridEllMatrix":
         return dataclasses.replace(
             self,
             d0=self.d0.astype(dtype),
-            tiers=tuple(
-                (d.astype(dtype), c, r) for d, c, r in self.tiers
-            ),
+            tiers=tuple((d.astype(dtype), c) for d, c in self.tiers),
         )
 
     @staticmethod
@@ -428,59 +433,58 @@ class HybridEllMatrix:
         if cuts[-1] != K:
             cuts.append(K)
 
-        rows_all = np.repeat(np.arange(n), counts)
+        # stable sort by descending degree: tiers are sorted-row prefixes
+        order = np.argsort(-counts, kind="stable").astype(np.int64)
+        inv = np.empty(n, np.int32)
+        inv[order] = np.arange(n, dtype=np.int32)
+        counts_s = counts[order]
+
+        rows_all = inv[np.repeat(np.arange(n), counts)]
         offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
 
-        def band(lo, hi, subset):
+        def band(lo, hi, mrows):
             mask = (offs >= lo) & (offs < hi)
-            r = rows_all[mask]
-            if subset is None:
-                d = np.zeros((n, hi - lo), dtype=np.float64)
-                c = np.zeros((n, hi - lo), dtype=np.int32)
-                d[r, offs[mask] - lo] = A.data[mask]
-                c[r, offs[mask] - lo] = A.indices[mask]
-                return d.T, c.T, None
-            sel = np.flatnonzero(subset)
-            remap = np.zeros(n, np.int64)
-            remap[sel] = np.arange(len(sel))
-            d = np.zeros((len(sel), hi - lo), dtype=np.float64)
-            c = np.zeros((len(sel), hi - lo), dtype=np.int32)
-            d[remap[r], offs[mask] - lo] = A.data[mask]
-            c[remap[r], offs[mask] - lo] = A.indices[mask]
-            return d.T, c.T, sel.astype(np.int32)
+            r = rows_all[mask]          # sorted positions, all < mrows
+            d = np.zeros((mrows, hi - lo), dtype=np.float64)
+            c = np.zeros((mrows, hi - lo), dtype=np.int32)
+            d[r, offs[mask] - lo] = A.data[mask]
+            c[r, offs[mask] - lo] = A.indices[mask]
+            return d.T, c.T
 
-        d0, c0, _ = band(0, cuts[0], None)
+        d0, c0 = band(0, cuts[0], n)
         tiers = []
         lo = cuts[0]
         for hi in cuts[1:]:
-            subset = counts > lo
-            if not subset.any():
+            mrows = int((counts_s > lo).sum())
+            if mrows == 0:
                 lo = hi
                 continue
-            d, c, sel = band(lo, hi, subset)
-            tiers.append((
-                jnp.asarray(d, dtype=dtype), jnp.asarray(c),
-                jnp.asarray(sel),
-            ))
+            d, c = band(lo, hi, mrows)
+            tiers.append((jnp.asarray(d, dtype=dtype), jnp.asarray(c)))
             lo = hi
         return HybridEllMatrix(
             d0=jnp.asarray(d0, dtype=dtype),
             c0=jnp.asarray(c0),
             tiers=tuple(tiers),
+            inv_perm=jnp.asarray(inv),
             shape=(n, m),
             nnz=int(A.nnz),
+            cuts=tuple(cuts),
         )
 
     def to_scipy(self) -> sp.csr_matrix:
         n, m = self.shape
+        inv = np.asarray(self.inv_perm)          # original -> sorted pos
+        order = np.empty(n, np.int64)
+        order[inv] = np.arange(n)                # sorted pos -> original
         rows, cols, vals = [], [], []
         k0 = self.d0.shape[0]
-        rows.append(np.repeat(np.arange(n), k0))
+        rows.append(np.repeat(order, k0))
         cols.append(np.asarray(self.c0).T.ravel())
         vals.append(np.asarray(self.d0).T.ravel())
-        for d, c, r in self.tiers:
-            w = d.shape[0]
-            rows.append(np.repeat(np.asarray(r), w))
+        for d, c in self.tiers:
+            w, mt = d.shape
+            rows.append(np.repeat(order[:mt], w))
             cols.append(np.asarray(c).T.ravel())
             vals.append(np.asarray(d).T.ravel())
         M = sp.coo_matrix(
@@ -587,6 +591,30 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
                 return BlockDiaMatrix.from_scipy(
                     A, block=block, dtype=dtype, _analysis=analysis
                 )
+    if block == 1 and format in ("auto", "sell"):
+        # On TPU backends the windowed-gather Pallas kernel (SELL) is
+        # ~12x faster than any XLA-gather format for unstructured
+        # patterns (XLA gathers serialize at ~0.14 Gelem/s on chip);
+        # f32/bf16 only (Mosaic has no 64-bit vectors).
+        try:
+            on_tpu = jax.default_backend() != "cpu"
+        except Exception:
+            on_tpu = False
+        if (format == "sell" or on_tpu) and jnp.dtype(dtype) in (
+            jnp.float32, jnp.bfloat16
+        ):
+            from .pallas_sell import SellMatrix
+
+            A = sp.csr_matrix(A)
+            if A.shape[0] and A.nnz:
+                S = SellMatrix.from_scipy(A, dtype=dtype)
+                if S is not None:
+                    return S
+                if format == "sell":
+                    raise ValueError(
+                        "matrix needs too many gather windows for the "
+                        "SELL kernel; reorder (Cuthill-McKee) first"
+                    )
     if block == 1 and format in ("auto", "hybrid"):
         A = sp.csr_matrix(A)
         if A.shape[0] and A.nnz:
@@ -623,14 +651,16 @@ def diagonal(A) -> jax.Array:
         return jnp.zeros((nb, A.block, A.block), dtype=A.dtype)
     if isinstance(A, HybridEllMatrix):
         n = A.shape[0]
-        rows = jnp.arange(n, dtype=jnp.int32)
-        dia = jnp.sum(
-            jnp.where(A.c0 == rows[None, :], A.d0, 0.0), axis=0
+        # original row index of each sorted position
+        orig = jnp.zeros(n, jnp.int32).at[A.inv_perm].set(
+            jnp.arange(n, dtype=jnp.int32)
         )
-        for d, c, r in A.tiers:
-            hit = c == r[None, :]
-            dia = dia.at[r].add(jnp.sum(jnp.where(hit, d, 0.0), axis=0))
-        return dia
+        dia = jnp.sum(jnp.where(A.c0 == orig[None, :], A.d0, 0.0), axis=0)
+        for d, c in A.tiers:
+            mt = d.shape[1]
+            hit = c == orig[None, :mt]
+            dia = dia.at[:mt].add(jnp.sum(jnp.where(hit, d, 0.0), axis=0))
+        return dia[A.inv_perm]
     K, b, _, nb = A.data.shape
     rows = jnp.arange(nb)
     is_dia = (A.cols == rows[None, :])  # (K, nb)

@@ -94,13 +94,19 @@ def spmv(A, x: jax.Array) -> jax.Array:
         return _spmv_dia(A, x)
     if isinstance(A, BlockDiaMatrix):
         return _spmv_block_dia(A, x)
+    from .pallas_sell import SellMatrix
+    if isinstance(A, SellMatrix):
+        return A.spmv(x)
     if isinstance(A, HybridEllMatrix):
         out_dtype = x.dtype
         xc = x.astype(A.dtype)
-        y = jnp.sum(A.d0 * xc[A.c0], axis=0)
-        for d, c, r in A.tiers:
-            y = y.at[r].add(jnp.sum(d * xc[c], axis=0))
-        return y.astype(out_dtype)
+        y = jnp.sum(A.d0 * xc[A.c0], axis=0)         # sorted row order
+        for d, c in A.tiers:
+            # tiers cover a static prefix of the sorted rows: a slice
+            # update, never a scatter (TPU scatters are gather-slow)
+            mt = d.shape[1]
+            y = y.at[:mt].add(jnp.sum(d * xc[c], axis=0))
+        return y[A.inv_perm].astype(out_dtype)
     K, b, _, nb = A.data.shape
     out_dtype = x.dtype
     xc = x.astype(A.data.dtype)
@@ -123,12 +129,13 @@ def spmv_t(A: SparseMatrix, x: jax.Array) -> jax.Array:
     """
     if isinstance(A, HybridEllMatrix):
         n, m = A.shape
-        xc = x.astype(A.dtype)
+        # x in sorted-row order: x_sorted[inv_perm[i]] = x[i]
+        xsort = jnp.zeros(n, A.dtype).at[A.inv_perm].set(x.astype(A.dtype))
         y = jnp.zeros(m, dtype=A.dtype)
-        contrib = A.d0 * xc[None, :]
-        y = y.at[A.c0.ravel()].add(contrib.ravel())
-        for d, c, r in A.tiers:
-            y = y.at[c.ravel()].add((d * xc[r][None, :]).ravel())
+        y = y.at[A.c0.ravel()].add((A.d0 * xsort[None, :]).ravel())
+        for d, c in A.tiers:
+            mt = d.shape[1]
+            y = y.at[c.ravel()].add((d * xsort[None, :mt]).ravel())
         return y.astype(x.dtype)
     K, b, _, nb = A.data.shape
     nbc = A.shape[1] // b

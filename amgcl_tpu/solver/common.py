@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops.formats import (SparseMatrix, DiaMatrix, BlockDiaMatrix,
                            HybridEllMatrix)
+from ..ops.pallas_sell import SellMatrix
 from ..ops.spmv import spmv
 from ..ops import blas1
 
@@ -31,7 +32,7 @@ def as_operator(A) -> Callable:
     """Accept a sparse matrix (any device format) or a linear-operator
     callable."""
     if isinstance(A, (SparseMatrix, DiaMatrix, BlockDiaMatrix,
-                      HybridEllMatrix)):
+                      HybridEllMatrix, SellMatrix)):
         return lambda v: spmv(A, v)
     if callable(A):
         return A

@@ -51,6 +51,8 @@ def ensure_fast_heap(nbytes: int = 0) -> None:
         return
     if os.environ.get(_FLAG):          # avoid exec loops
         return
+    if not sys.argv or sys.argv[0] in ("-", "-c", ""):
+        return                          # stdin/-c scripts can't re-exec
     env = dict(os.environ, **_ENV)
     env[_FLAG] = "1"
     try:

@@ -27,9 +27,22 @@ def main():
     from amgcl_tpu.precond.schur import SchurPressureCorrection
     from amgcl_tpu import make_solver
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    A, rhs, pmask = stokes2d(n)
-    print(f"# stokes2d({n}): {A.shape[0]} dof ({int(pmask.sum())} pressure)")
+    import json
+
+    from amgcl_tpu.models.coupled import stokes3d
+
+    dim3 = "--3d" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if dim3:
+        # reference tutorial scale: n=52 -> 562,432 dof vs ucube 554,496
+        n = int(args[0]) if args else 52
+        A, rhs, pmask = stokes3d(n)
+        tag = f"stokes3d_{A.shape[0]}dof"
+    else:
+        n = int(args[0]) if args else 64
+        A, rhs, pmask = stokes2d(n)
+        tag = f"stokes2d_{A.shape[0]}dof"
+    print(f"# {tag}: {A.shape[0]} dof ({int(pmask.sum())} pressure)")
 
     def run(label, build):
         t0 = time.time()
@@ -49,15 +62,25 @@ def main():
         rel = np.linalg.norm(r) / np.linalg.norm(rhs)
         print(f"{label:26s} iters={it:4d} solve={min(ts):.4f}s "
               f"rel={rel:.1e} setup={setup:.1f}s")
+        return min(ts), it, rel
 
-    run("fgmres + relaxation",
-        lambda: make_solver(A, solver="fgmres", precond="relaxation",
-                            tol=1e-8, maxiter=600, M=60))
-    run("fgmres + Schur (approx)",
+    if not dim3:
+        run("fgmres + relaxation",
+            lambda: make_solver(A, solver="fgmres", precond="relaxation",
+                                tol=1e-8, maxiter=600, M=60))
+    solve_s, iters, rel = run(
+        "fgmres + Schur (approx)",
         lambda: make_solver(
             A, solver="fgmres", tol=1e-8, maxiter=300,
             precond=SchurPressureCorrection(A, pmask, approx_schur=True),
         ))
+    # reference: Stokes SPC 3.41 s (f64) / 2.13 s (mixed) @ 554k dof
+    print(json.dumps({
+        "metric": f"{tag}_fgmres_schur_solve_to_1e-8",
+        "value": round(solve_s, 4),
+        "unit": "seconds",
+        "vs_baseline": round(3.41 / solve_s, 2),
+    }))
     run("fgmres + Schur (usolve)",
         lambda: make_solver(
             A, solver="fgmres", tol=1e-8, maxiter=200,
