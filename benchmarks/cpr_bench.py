@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from amgcl_tpu.utils.hostmem import ensure_fast_heap
+    ensure_fast_heap()
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_amgcl")
     import jax.numpy as jnp

@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main():
+    from amgcl_tpu.utils.hostmem import ensure_fast_heap
+    ensure_fast_heap()
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_amgcl")
     import jax.numpy as jnp
