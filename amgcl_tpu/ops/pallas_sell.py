@@ -145,17 +145,21 @@ def _sell_kernel(B, NW, data_ref, enc_ref, bases_ref, x_ref, y_ref):
     for b in range(B):
         d = data_ref[b * 8 : (b + 1) * 8, :]          # (8, 128)
         e = enc_ref[b * 8 : (b + 1) * 8, :]
-        w_id = jax.lax.shift_right_logical(e, jnp.int32(10))
-        hi = jax.lax.shift_right_logical(e, jnp.int32(7)) & jnp.int32(7)
+        # hs = w*8 + hi: one compare per (window, subrow) instead of two
+        hs = jax.lax.shift_right_logical(e, jnp.int32(7))
         lo = e & jnp.int32(127)
 
         def win_body(wi, gacc):
             t = bases_ref[0, b, wi]
             T8 = x_ref[pl.ds(t, 8), :]                # (8, 128)
+            base = wi * jnp.int32(8)
             for s in range(8):
                 Bv = jnp.broadcast_to(T8[s : s + 1, :], (8, 128))
                 Gv = _lane_gather(Bv, lo)
-                gacc = jnp.where((w_id == wi) & (hi == s), Gv, gacc)
+                # additive masked accumulate (each element matches
+                # exactly one (w, s)) — reassociable, unlike a serial
+                # select chain
+                gacc = gacc + jnp.where(hs == base + jnp.int32(s), Gv, 0.0)
             return gacc
 
         gacc = jax.lax.fori_loop(

@@ -434,22 +434,90 @@ class _PredictFailed(Exception):
     pass
 
 
+def _predict_cache_path(key: str):
+    import hashlib
+    import os
+
+    d = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", "/tmp"), "amgcl_tpu_predict"
+    )
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(
+        d, hashlib.sha256(key.encode()).hexdigest()[:24] + ".json"
+    )
+
+
 def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong):
     """Level-by-level compile-time signatures (offsets, dims, creach,
     keep_idx) predicted on the host from the interior stencil — exact for
     (near-)constant-coefficient operators; callers verify against the
-    device absmax and fall back when the prediction misses signal."""
-    import itertools
+    device absmax and fall back when the prediction misses signal.
+
+    The prediction is pure metadata keyed by (stencil values, dims,
+    params); on hosts where fresh pages fault at ~10 MB/s the scipy
+    temporaries make it expensive, so results are cached on disk."""
+    import json
+    import os
 
     center = int(np.ravel_multi_index(tuple(d // 2 for d in dims), dims))
     interior = np.asarray(A.data[:, center], dtype=np.float64)
-    offsets = tuple(A.offsets)
+
+    key = json.dumps([
+        [int(o) for o in A.offsets], [float(v) for v in interior],
+        list(dims), prm.max_levels, prm.coarse_enough,
+        float(relax_factor), float(eps_strong),
+    ])
+    cpath = _predict_cache_path(key)
+    try:
+        with open(cpath) as f:
+            cached = json.load(f)
+        if cached["key"] == key:
+            specs = [
+                dict(
+                    offsets=tuple(sp_["offsets"]),
+                    dims=tuple(sp_["dims"]),
+                    cdims=tuple(sp_["cdims"]),
+                    creach=tuple(sp_["creach"]),
+                    shape=tuple(sp_["shape"]),
+                    keep_idx=tuple(sp_["keep_idx"]),
+                    c_offs=tuple(sp_["c_offs"]),
+                )
+                for sp_ in cached["specs"]
+            ]
+            return specs, tuple(cached["coarsest"])
+    except Exception:
+        pass
+
+    specs, coarsest = _predict_plan_impl(
+        interior, tuple(A.offsets), dims, prm, relax_factor, eps_strong,
+        A.shape[0],
+    )
+    try:
+        tmp = cpath + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({
+                "key": key,
+                "specs": [
+                    {k: list(v) if isinstance(v, tuple) else v
+                     for k, v in sp_.items()}
+                    for sp_ in specs
+                ],
+                "coarsest": list(coarsest),
+            }, f)
+        os.replace(tmp, cpath)
+    except Exception:
+        pass
+    return specs, coarsest
+
+
+def _predict_plan_impl(interior, offsets, dims, prm, relax_factor,
+                       eps_strong, n0):
     comps = decompose_offsets(offsets, dims)
     eps = eps_strong
     omega = relax_factor * 2.0 / 3.0
     specs = []
     cur_dims = tuple(dims)
-    n = A.shape[0]
+    n = n0
     while len(specs) < prm.max_levels and n > prm.coarse_enough:
         rA = tuple(max(abs(c[i]) for c in comps) for i in range(len(cur_dims)))
         cdims = tuple((d + 1) // 2 for d in cur_dims)

@@ -39,7 +39,7 @@ _COMMON_SOLVER_KEYS = {"tol", "abstol", "maxiter", "verbose"}
 _SOLVER_KEYS = {
     "cg": {"ns_search"},
     "bicgstab": {"ns_search", "precond_side"},
-    "bicgstabl": {"ns_search", "L"},
+    "bicgstabl": {"ns_search", "L", "delta", "convex"},
     "gmres": {"ns_search", "M"},
     "fgmres": {"ns_search", "M"},
     "lgmres": {"ns_search", "M", "K"},
