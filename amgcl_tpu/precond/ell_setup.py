@@ -37,6 +37,35 @@ def _round8(x):
     return max(8, int(-(-x // 8) * 8))
 
 
+# sort-stage peak-memory bound (elements); tests shrink it to force the
+# chunked path
+_TERM_CAP = 48_000_000
+
+
+def _chunks(n, nch):
+    """Equal-size row chunks (last one short)."""
+    size = -(-n // nch)
+    return [slice(i, min(i + size, n)) for i in range(0, n, size)]
+
+
+@partial(jax.jit, static_argnames=("nc", "kc"))
+def _merge_partial_ell(parts, nc, kc):
+    """Sum per-chunk partial Ac ELLs (disjoint fine-row contributions to
+    the same coarse rows) through one final sort/segment pass."""
+    rows = jnp.broadcast_to(
+        jnp.arange(nc, dtype=jnp.int32)[None, :], (kc, nc)
+    )
+    all_r, all_c, all_v = [], [], []
+    for d_, c_ in parts:
+        all_r.append(rows.reshape(-1))
+        all_c.append(c_.reshape(-1))
+        all_v.append(d_.reshape(-1))
+    return _terms_to_ell(
+        jnp.concatenate(all_r), jnp.concatenate(all_c),
+        jnp.concatenate(all_v), nc, kc,
+    )
+
+
 @partial(jax.jit, static_argnames=("nc", "kr_bound"))
 def _transpose_ell(P_data, P_cols, nc, kr_bound):
     """R = Pᵀ in planar ELL via the shared sort/segment machinery."""
@@ -170,25 +199,63 @@ def build_ell_hierarchy(
             data, cols, ids, strong, omega
         )
 
+        # Fine-row chunking bounds the sort-stage peak memory: each
+        # chunk's product terms are expanded, sorted and compressed
+        # independently; AP chunks concatenate by rows, Ac chunks
+        # re-merge through one final (much smaller) sort.
+        TERM_CAP = _TERM_CAP
+
         kap = _round8(K + 8)
         while True:
-            AP_d, AP_c, kmax, _ = spgemm_ap_device(
-                data, cols, P_data, P_cols, kap
-            )
-            if int(kmax) <= kap:
+            terms = K * (K + 1) * n
+            nch = max(1, -(-terms // TERM_CAP))
+            AP_parts = []
+            kmax_all = 0
+            for sl in _chunks(n, nch):
+                # A rows are sliced; P stays full (its rows are gathered
+                # by A's *global* column indices)
+                d_, c_, kmax, _ = spgemm_ap_device(
+                    data[:, sl], cols[:, sl], P_data, P_cols, kap
+                )
+                AP_parts.append((d_, c_))
+                kmax_all = max(kmax_all, int(kmax))
+            if kmax_all <= kap:
                 break
             stats["retries"] += 1
-            kap = _round8(int(kmax))
+            kap = _round8(kmax_all)
+        AP_d = jnp.concatenate([p[0] for p in AP_parts], axis=1)
+        AP_c = jnp.concatenate([p[1] for p in AP_parts], axis=1)
 
         kc = _round8(4 * K)
         while True:
-            Ac_d, Ac_c, kmax_c, nnz_c = spgemm_ptb_device(
-                P_data, P_cols, AP_d, AP_c, nc, kc
-            )
-            if int(kmax_c) <= kc:
+            terms = (K + 1) * kap * n
+            nch = max(1, -(-terms // TERM_CAP))
+            if nch == 1:
+                Ac_d, Ac_c, kmax_c, nnz_c = spgemm_ptb_device(
+                    P_data, P_cols, AP_d, AP_c, nc, kc
+                )
+                ok = int(kmax_c) <= kc
+            else:
+                parts = []
+                ok = True
+                for sl in _chunks(n, nch):
+                    d_, c_, kmax_c, _ = spgemm_ptb_device(
+                        P_data[:, sl], P_cols[:, sl], AP_d[:, sl],
+                        AP_c[:, sl], nc, kc
+                    )
+                    if int(kmax_c) > kc:
+                        ok = False
+                        break
+                    parts.append((d_, c_))
+                if ok:
+                    Ac_d, Ac_c, kmax_c, nnz_c = _merge_partial_ell(
+                        parts, nc, kc
+                    )
+                    ok = int(kmax_c) <= kc
+            if ok:
                 break
             stats["retries"] += 1
-            kc = _round8(int(kmax_c))
+            kc = _round8(max(int(kmax_c), kc + 8))
 
         kr = _round8(3 * (K + 1))
         while True:
