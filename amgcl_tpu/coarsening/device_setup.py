@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 
-_DEAD = jnp.int64(0x7FFFFFFFFFFFFFFF)
 
 
 # ----------------------------------------------------------------------
@@ -189,55 +188,110 @@ def smoothed_prolongation_ell(data, cols, ids, strong, omega):
 # sort-based sparse products (jittable)
 # ----------------------------------------------------------------------
 
+_HUGE = jnp.int32(0x7FFFFFFF)
+
+
+def _shift_right(x, d):
+    """x shifted right by d with zero fill (static slices only)."""
+    pad = jnp.zeros((d,), x.dtype)
+    return jnp.concatenate([pad, x[:-d]])
+
+
+def _seg_incl_scan_sum(val, seg_id):
+    """Inclusive segmented sum via unrolled Hillis–Steele shift passes —
+    log2(n) elementwise sweeps, no gathers, no scan combinators (an
+    associative_scan formulation OOMs the XLA compiler at these sizes).
+    seg_id must be non-decreasing (e.g. cumsum of start flags)."""
+    out = val
+    n = val.shape[0]
+    d = 1
+    while d < n:
+        same = seg_id == _shift_right(seg_id, d)
+        out = out + jnp.where(same, _shift_right(out, d),
+                              jnp.zeros_like(out))
+        d *= 2
+    return out
+
+
+def _seg_total_at_first(val, seg_id, first):
+    """Each segment's TOTAL placed at its first element (suffix-sum scan
+    on the flipped array), zeros elsewhere."""
+    rev = jnp.flip(val)
+    rev_id = jnp.flip(seg_id)
+    incl = _seg_incl_scan_sum(rev, rev_id)
+    return jnp.where(first, jnp.flip(incl), jnp.zeros_like(val))
+
+
+def _copy_forward_i32(v, start):
+    """out[i] = v at the most recent position with start=True (v >= 0):
+    a cummax over (segment counter << 32 | payload) — gather-free."""
+    cnt = jnp.cumsum(start.astype(jnp.int32)).astype(jnp.int64)
+    enc = jnp.where(
+        start, (cnt << 32) | (v.astype(jnp.int64) & jnp.int64(0xFFFFFFFF)),
+        jnp.int64(0),
+    )
+    m = jax.lax.cummax(enc)
+    return (m & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+
+
 def _terms_to_ell(row, col, val, nrows, k_bound):
-    """Compress flat product terms into planar ELL (k_bound, nrows):
-    sort by (row, col) key, segment-sum duplicates, place by within-row
-    rank.  Entries beyond k_bound clamp into the last slot (the returned
-    kmax lets the host detect and retry with a larger bound).  Returns
+    """Compress flat product terms into planar ELL (k_bound, nrows) with
+    NO gathers or scatters — XLA executes both essentially serialized on
+    TPU (~0.14 Gelem/s), so everything here is multi-operand `lax.sort`,
+    segmented scans and elementwise ops:
+
+    1. append k_bound synthetic zero terms per row (hole fillers);
+    2. co-sort (row, colkey, val) — dead terms get colkey=HUGE so they
+       cluster at each row's tail;
+    3. merge duplicate (row, col) runs via segmented total scans;
+    4. assign every element a target slot: live entries get
+       (rank-within-row, row); fillers take the remaining hole slots of
+       their row, so slot keys are unique and cover every
+       (rank < k_bound, row) pair exactly once;
+    5. co-sort by (rank, row) and slice the first k_bound*nrows — the
+       sorted order IS the flattened planar ELL.
+
+    Entries beyond k_bound sort past the slice (the returned kmax lets
+    the host detect overflow and retry with a larger bound).  Returns
     (data, cols, kmax, nnz)."""
-    dead = val == 0
-    key = jnp.where(
-        dead, _DEAD,
-        row.astype(jnp.int64) * jnp.int64(int(1) << 32)
-        + col.astype(jnp.int64),
-    )
-    order = jnp.argsort(key)
-    k = key[order]
-    v = val[order]
-    first = jnp.concatenate([jnp.array([True]), k[1:] != k[:-1]])
-    segidx = jnp.cumsum(first.astype(jnp.int32)) - 1
-    tot = jnp.zeros(k.shape[0], v.dtype).at[segidx].add(v)
-    vv = tot[segidx]
+    n_syn = k_bound * nrows
+    syn_row = jnp.arange(n_syn, dtype=jnp.int32) % nrows
+    row = jnp.concatenate([row.astype(jnp.int32), syn_row])
+    colkey = jnp.concatenate([
+        jnp.where(val == 0, _HUGE, col.astype(jnp.int32)),
+        jnp.full((n_syn,), _HUGE, jnp.int32),
+    ])
+    val = jnp.concatenate([val, jnp.zeros((n_syn,), val.dtype)])
 
-    live = first & (k != _DEAD) & (vv != 0)
-    rowz = jnp.where(live, (k >> 32), nrows).astype(jnp.int32)
-    colz = jnp.where(live, k & jnp.int64(0xFFFFFFFF), 0).astype(jnp.int32)
+    row, colkey, val = jax.lax.sort((row, colkey, val), num_keys=2)
 
-    counts = (
-        jnp.zeros(nrows + 1, jnp.int32)
-        .at[rowz]
-        .add(live.astype(jnp.int32))[:nrows]
+    new_row = jnp.concatenate([jnp.array([True]), row[1:] != row[:-1]])
+    new_key = new_row | jnp.concatenate(
+        [jnp.array([True]), colkey[1:] != colkey[:-1]]
     )
-    row_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
-    )
-    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
-    rank = jnp.where(live, pos - row_start[jnp.minimum(rowz, nrows - 1)], 0)
+    key_id = jnp.cumsum(new_key.astype(jnp.int32))
+    row_id = jnp.cumsum(new_row.astype(jnp.int32))
+    tot = _seg_total_at_first(val, key_id, new_key)
+    live = new_key & (colkey != _HUGE) & (tot != 0)
+
+    live_i = live.astype(jnp.int32)
+    rank_live = _seg_incl_scan_sum(live_i, row_id) - live_i
+    nlive_first = _seg_total_at_first(live_i, row_id, new_row)
+    nlive_row = _copy_forward_i32(nlive_first, new_row)
+    fill_i = (~live).astype(jnp.int32)
+    rank_fill = _seg_incl_scan_sum(fill_i, row_id) - fill_i
+    rank = jnp.where(live, rank_live, nlive_row + rank_fill)
+
     kmax = jnp.max(jnp.where(live, rank + 1, 0))
-
-    rank_c = jnp.minimum(rank, k_bound - 1)
-    srow = jnp.where(live, rowz, 0)
-    data = (
-        jnp.zeros((k_bound, nrows), v.dtype)
-        .at[rank_c, srow]
-        .add(jnp.where(live, vv, 0.0))
-    )
-    cols = (
-        jnp.zeros((k_bound, nrows), jnp.int32)
-        .at[rank_c, srow]
-        .max(jnp.where(live, colz, 0))
-    )
     nnz = jnp.sum(live.astype(jnp.int64))
+
+    out_val = jnp.where(live, tot, 0.0).astype(val.dtype)
+    out_col = jnp.where(live, colkey, 0)
+    rank, row, out_val, out_col = jax.lax.sort(
+        (rank, row, out_val, out_col), num_keys=2
+    )
+    data = out_val[: k_bound * nrows].reshape(k_bound, nrows)
+    cols = out_col[: k_bound * nrows].reshape(k_bound, nrows)
     return data, cols, kmax, nnz
 
 

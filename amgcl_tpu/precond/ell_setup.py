@@ -169,10 +169,22 @@ def build_ell_hierarchy(
     with the exact width on overflow (the overflow is detected from the
     returned kmax scalar, and the retried program is the only recompile).
     """
+    import time as _t
+
     prm = params or AMGParams()
     relaxation = relaxation or rlx.SPAI0()
     stats = setup_stats if setup_stats is not None else {}
     stats.setdefault("retries", 0)
+    stats.setdefault("phase_s", {})
+
+    def _mark(tag, t0, sync=None):
+        if sync is not None:
+            jax.block_until_ready(sync)
+        stats["phase_s"][tag] = (
+            stats["phase_s"].get(tag, 0.0) + _t.perf_counter() - t0
+        )
+        return _t.perf_counter()
+
     levels = []
     eps = eps_strong
 
@@ -186,10 +198,12 @@ def build_ell_hierarchy(
         K, n = data.shape
         omega = relax_factor * 2.0 / 3.0
 
+        t0 = _t.perf_counter()
         ids, count, strong = pmis_ids_device(
             data, cols, jnp.asarray(eps * eps, data.dtype), seed
         )
         nc = int(count)                      # scalar fetch
+        t0 = _mark("pmis", t0)
         if nc == 0:
             raise EmptyLevelError("no aggregates could be formed")
         if nc >= n:
@@ -225,6 +239,7 @@ def build_ell_hierarchy(
             kap = _round8(kmax_all)
         AP_d = jnp.concatenate([p[0] for p in AP_parts], axis=1)
         AP_c = jnp.concatenate([p[1] for p in AP_parts], axis=1)
+        t0 = _mark("ap", t0, AP_d)
 
         kc = _round8(4 * K)
         while True:
@@ -256,6 +271,7 @@ def build_ell_hierarchy(
                 break
             stats["retries"] += 1
             kc = _round8(max(int(kmax_c), kc + 8))
+        t0 = _mark("rap", t0, Ac_d)
 
         kr = _round8(3 * (K + 1))
         while True:
@@ -264,6 +280,7 @@ def build_ell_hierarchy(
                 break
             stats["retries"] += 1
             kr = _round8(int(kmax_r))
+        t0 = _mark("transpose", t0, R_d)
 
         P_sp = _wrap(P_data, P_cols, (n, nc), int(nnz_r))
         R_sp = _wrap(R_d, R_c, (nc, n), int(nnz_r))
