@@ -211,3 +211,23 @@ def test_bandwidth_report():
     S = make_solver(A, solver="cg", tol=1e-8, maxiter=100)
     rep = bandwidth_report(S, rhs, repeats=2)
     assert "GB/s" in rep and "iterations" in rep
+
+
+def test_profile_aggregation():
+    """Per-shard profile min/avg/max aggregation (reference:
+    perf_counter/mpi_aggregator.hpp)."""
+    import time
+
+    from amgcl_tpu.utils.profiler import Profiler, aggregate_profiles
+
+    profs = []
+    for s in range(4):
+        p = Profiler(f"shard{s}")
+        with p.scope("local setup"):
+            with p.scope("factorize"):
+                time.sleep(0.001 * (s + 1))
+        profs.append(p)
+    rep = aggregate_profiles(profs)
+    assert "4 shards" in rep
+    assert "local setup" in rep and "factorize" in rep
+    assert "min" in rep and "avg" in rep and "max" in rep
