@@ -447,7 +447,8 @@ def _predict_cache_path(key: str):
     )
 
 
-def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong):
+def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong,
+                  _predict_stats=None):
     """Level-by-level compile-time signatures (offsets, dims, creach,
     keep_idx) predicted on the host from the interior stencil — exact for
     (near-)constant-coefficient operators; callers verify against the
@@ -458,9 +459,17 @@ def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong):
     temporaries make it expensive, so results are cached on disk."""
     import json
     import os
+    import time as _t
 
+    stats = _predict_stats if isinstance(_predict_stats, dict) else {}
+    t0 = _t.perf_counter()
     center = int(np.ravel_multi_index(tuple(d // 2 for d in dims), dims))
+    # This device fetch is the first *forced* sync after assembly on
+    # async-dispatch backends: it absorbs any queued compile/execute
+    # work, so time it separately (the host predict itself is ~0.5 s).
     interior = np.asarray(A.data[:, center], dtype=np.float64)
+    stats["fetch_s"] = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
 
     key = json.dumps([
         [int(o) for o in A.offsets], [float(v) for v in interior],
@@ -472,6 +481,7 @@ def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong):
         with open(cpath) as f:
             cached = json.load(f)
         if cached["key"] == key:
+            stats["host_s"] = _t.perf_counter() - t0
             specs = [
                 dict(
                     offsets=tuple(sp_["offsets"]),
@@ -492,6 +502,7 @@ def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong):
         interior, tuple(A.offsets), dims, prm, relax_factor, eps_strong,
         A.shape[0],
     )
+    stats["host_s"] = _t.perf_counter() - t0
     try:
         tmp = cpath + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -673,7 +684,8 @@ def build_grid_hierarchy(
     t_pred = _t.perf_counter()
     specs = None
     try:
-        specs, _ = _predict_plan(A, dims, prm, relax_factor, eps_strong)
+        specs, _ = _predict_plan(A, dims, prm, relax_factor, eps_strong,
+                                 _predict_stats=stats)
     except Exception:
         specs = None
     stats["predict_s"] = _t.perf_counter() - t_pred

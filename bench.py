@@ -43,7 +43,10 @@ def main():
 
     t0 = time.time()
     A, rhs = poisson3d_dia(n, dtype=jnp.float64)
-    rhs.block_until_ready()
+    # block_until_ready does not reliably sync through the tunnel; a
+    # scalar fetch does — without it the assemble compile cost silently
+    # shifts into whatever phase syncs next.
+    _ = float(rhs[0])
     assemble_s = time.time() - t0
 
     t0 = time.time()
@@ -100,6 +103,8 @@ def main():
         f"setup={setup_s:.1f}s (compile={sstats.get('compile_s', -1):.1f}s "
         f"execute={sstats.get('execute_s', -1):.1f}s "
         f"predict={sstats.get('predict_s', -1):.1f}s "
+        f"(fetch={sstats.get('fetch_s', -1):.1f}s "
+        f"host={sstats.get('host_s', -1):.1f}s) "
         f"inv_fb={sstats.get('inv_fallback', False)} "
         f"inv={sstats.get('inv_s', 0):.1f}s "
         f"predicted={sstats.get('predicted')}) "
