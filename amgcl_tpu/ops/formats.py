@@ -28,6 +28,7 @@ whole *solve* phase on-device.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import numpy as np
@@ -604,10 +605,17 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
             jnp.float32, jnp.bfloat16
         ):
             from .pallas_sell import SellMatrix
+            from .pallas_sell2 import Sell2Matrix
 
             A = sp.csr_matrix(A)
             if A.shape[0] and A.nnz:
-                S = SellMatrix.from_scipy(A, dtype=dtype)
+                # AMGCL_TPU_SELL=1 pins the v1 kernel (escape hatch)
+                if os.environ.get("AMGCL_TPU_SELL") == "1":
+                    S = SellMatrix.from_scipy(A, dtype=dtype)
+                else:
+                    S = Sell2Matrix.from_scipy(A, dtype=dtype)
+                    if S is None:
+                        S = SellMatrix.from_scipy(A, dtype=dtype)
                 if S is not None:
                     return S
                 if format == "sell":

@@ -1,0 +1,112 @@
+"""SELL v2 (classed static-unroll windowed-gather) format and kernel
+tests.  Kernel correctness runs in interpret mode on CPU; on-chip
+performance is exercised by benchmarks/unstructured_bench.py.
+Reference role: amgcl/backend/cuda.hpp:61 (format-general accelerated
+SpMV)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import jax.numpy as jnp
+
+from amgcl_tpu.models.unstructured import fem_poisson_2d
+from amgcl_tpu.models.poisson import poisson3d
+from amgcl_tpu.ops.pallas_sell2 import Sell2Matrix, sell2_spmv_pallas
+
+
+def _rcm(A):
+    p = sp.csgraph.reverse_cuthill_mckee(A, symmetric_mode=True)
+    B = A[p][:, p].tocsr()
+    B.sort_indices()
+    return B
+
+
+@pytest.fixture(scope="module")
+def fem():
+    A, _ = fem_poisson_2d(4000)
+    return _rcm(sp.csr_matrix(A.astype(np.float32)))
+
+
+def test_pack_roundtrip(fem):
+    S = Sell2Matrix.from_scipy(fem, dtype=jnp.float32)
+    assert S is not None
+    assert abs(S.to_scipy() - fem).max() < 1e-6
+    assert S.nnz == fem.nnz
+
+
+@pytest.mark.parametrize("W", [128, 256, 512])
+def test_pack_roundtrip_widths(fem, W):
+    S = Sell2Matrix.from_scipy(fem, dtype=jnp.float32, W=W)
+    assert S is not None
+    assert abs(S.to_scipy() - fem).max() < 1e-6
+
+
+def test_xla_fallback_spmv(fem):
+    S = Sell2Matrix.from_scipy(fem, dtype=jnp.float64)
+    x = np.random.default_rng(0).standard_normal(fem.shape[0])
+    y = S._spmv_xla(jnp.asarray(x))
+    ref = fem.astype(np.float64) @ x
+    assert np.allclose(np.asarray(y), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("W,R", [(128, 4), (128, 1), (256, 2), (512, 4)])
+def test_kernel_interpret(fem, W, R):
+    S = Sell2Matrix.from_scipy(fem, dtype=jnp.float32, W=W, R=R)
+    x = np.random.default_rng(1).standard_normal(
+        fem.shape[0]
+    ).astype(np.float32)
+    y = sell2_spmv_pallas(S._m, jnp.asarray(x), S.arrays, interpret=True)
+    ref = fem @ x
+    assert np.abs(np.asarray(y) - ref).max() < 1e-3 * np.abs(ref).max()
+
+
+def test_kernel_interpret_load8(fem):
+    S = Sell2Matrix.from_scipy(fem, dtype=jnp.float32)
+    x = np.random.default_rng(5).standard_normal(
+        fem.shape[0]
+    ).astype(np.float32)
+    y = sell2_spmv_pallas(S._m, jnp.asarray(x), S.arrays, interpret=True,
+                          load8=True)
+    assert np.abs(np.asarray(y) - fem @ x).max() < 1e-3
+
+
+def test_rectangular():
+    A, _ = fem_poisson_2d(2000)
+    A = _rcm(sp.csr_matrix(A.astype(np.float32)))
+    Rm = A[: A.shape[0] // 3]
+    S = Sell2Matrix.from_scipy(Rm, dtype=jnp.float32)
+    assert S is not None and S.shape == Rm.shape
+    x = np.random.default_rng(2).standard_normal(
+        Rm.shape[1]
+    ).astype(np.float32)
+    y = sell2_spmv_pallas(S._m, jnp.asarray(x), S.arrays, interpret=True)
+    assert np.abs(np.asarray(y) - Rm @ x).max() < 1e-3
+
+
+def test_window_cap_returns_none():
+    rng = np.random.default_rng(3)
+    n = 40_000
+    Rm = sp.random(n, n, density=3e-4, random_state=rng, format="csr")
+    Rm = sp.csr_matrix(Rm + sp.eye(n))
+    S = Sell2Matrix.from_scipy(Rm, dtype=jnp.float32, nw_cap=8)
+    assert S is None
+
+
+def test_structured_also_packs():
+    A, _ = poisson3d(12)
+    A = sp.csr_matrix(A.astype(np.float32))
+    S = Sell2Matrix.from_scipy(A, dtype=jnp.float32)
+    assert S is not None
+    x = np.random.default_rng(4).standard_normal(
+        A.shape[0]
+    ).astype(np.float32)
+    y = sell2_spmv_pallas(S._m, jnp.asarray(x), S.arrays, interpret=True)
+    assert np.abs(np.asarray(y) - A @ x).max() < 1e-3
+
+
+def test_tiny_matrix():
+    A = sp.csr_matrix(np.diag([2.0, 3.0, 4.0]) + np.eye(3, k=1))
+    S = Sell2Matrix.from_scipy(A.astype(np.float32))
+    x = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+    y = S._spmv_xla(jnp.asarray(x))
+    assert np.allclose(np.asarray(y), A @ x)
