@@ -95,7 +95,8 @@ def spmv(A, x: jax.Array) -> jax.Array:
     if isinstance(A, BlockDiaMatrix):
         return _spmv_block_dia(A, x)
     from .pallas_sell import SellMatrix
-    if isinstance(A, SellMatrix):
+    from .pallas_sell2 import Sell2Matrix
+    if isinstance(A, (SellMatrix, Sell2Matrix)):
         return A.spmv(x)
     if isinstance(A, HybridEllMatrix):
         out_dtype = x.dtype

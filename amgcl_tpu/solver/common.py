@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..ops.formats import (SparseMatrix, DiaMatrix, BlockDiaMatrix,
                            HybridEllMatrix)
 from ..ops.pallas_sell import SellMatrix
+from ..ops.pallas_sell2 import Sell2Matrix
 from ..ops.spmv import spmv
 from ..ops import blas1
 
@@ -32,7 +33,7 @@ def as_operator(A) -> Callable:
     """Accept a sparse matrix (any device format) or a linear-operator
     callable."""
     if isinstance(A, (SparseMatrix, DiaMatrix, BlockDiaMatrix,
-                      HybridEllMatrix, SellMatrix)):
+                      HybridEllMatrix, SellMatrix, Sell2Matrix)):
         return lambda v: spmv(A, v)
     if callable(A):
         return A

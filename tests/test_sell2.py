@@ -104,6 +104,24 @@ def test_structured_also_packs():
     assert np.abs(np.asarray(y) - A @ x).max() < 1e-3
 
 
+def test_spmv_dispatch_and_operator(fem):
+    """ops.spmv.spmv and solver.common.as_operator must route Sell2Matrix
+    through its own kernel (a fall-through to the block-ELL branch
+    crashes on attribute access — this only bites on TPU where the auto
+    format picks SELL, so pin it here)."""
+    from amgcl_tpu.ops.spmv import spmv
+    from amgcl_tpu.solver.common import as_operator
+
+    S = Sell2Matrix.from_scipy(fem, dtype=jnp.float32)
+    x = np.random.default_rng(7).standard_normal(
+        fem.shape[0]
+    ).astype(np.float32)
+    y = spmv(S, jnp.asarray(x))
+    assert np.abs(np.asarray(y) - fem @ x).max() < 1e-3
+    y2 = as_operator(S)(jnp.asarray(x))
+    assert np.allclose(np.asarray(y2), np.asarray(y))
+
+
 def test_tiny_matrix():
     A = sp.csr_matrix(np.diag([2.0, 3.0, 4.0]) + np.eye(3, k=1))
     S = Sell2Matrix.from_scipy(A.astype(np.float32))
