@@ -90,6 +90,84 @@ def fem_poisson_3d(
     return A, rhs
 
 
+def fem_elasticity_3d(
+    npoints: int = 80_000, seed: int = 13, E: float = 1.0, nu: float = 0.3,
+    dtype=np.float64,
+) -> tuple[sp.csr_matrix, np.ndarray, np.ndarray]:
+    """Unstructured 3D P1 linear elasticity — the Serena stand-in
+    (reference: docs/tutorial/Serena.rst:12 — 1,391,349 rows of 3×3-block
+    gas-reservoir elasticity; the matrix file is not available offline).
+    Same jittered-lattice Delaunay mesh as fem_poisson_3d, 3 dof/node,
+    isotropic Hooke law; per-element stiffness
+
+        Ke[ai, bj] = V (λ ∂φa/∂xi ∂φb/∂xj + μ ∂φa/∂xj ∂φb/∂xi
+                        + μ δij ∇φa·∇φb)
+
+    Rows come out in mesh-point order (shuffled), interleaved dof
+    (node i → rows 3i..3i+2) — a genuinely unstructured 3×3 BSR system.
+    The bottom face gets a Dirichlet-like diagonal shift (SPD,
+    rigid-body modes removed).
+
+    Returns (A, rhs, coords) — coords (n_nodes, 3) for rigid-body-mode
+    nullspace construction (reference: coarsening/rigid_body_modes.hpp).
+    """
+    rng = np.random.default_rng(seed)
+    m = int(round(npoints ** (1.0 / 3.0)))
+    g = np.linspace(0.0, 1.0, m)
+    P = np.stack(np.meshgrid(g, g, g, indexing="ij"), axis=-1).reshape(-1, 3)
+    h = 1.0 / (m - 1)
+    P = P + rng.uniform(-0.45 * h, 0.45 * h, P.shape)
+    extra = npoints - P.shape[0]
+    if extra > 0:
+        P = np.concatenate([P, rng.uniform(0, 1, (extra, 3))], axis=0)
+    P = P[rng.permutation(P.shape[0])]
+
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(P)
+    cells = tri.simplices.astype(np.int64)
+
+    lam = E * nu / ((1 + nu) * (1 - 2 * nu))
+    mu = E / (2 * (1 + nu))
+    npt = P.shape[0]
+    X = P[cells]
+    Ee = np.transpose(X[:, 1:, :] - X[:, :1, :], (0, 2, 1))
+    detE = np.linalg.det(Ee)
+    vol = np.abs(detE) / 6.0
+    good = vol > 1e-14 * np.median(vol)
+    Einv = np.linalg.inv(Ee[good])
+    G = np.transpose(Einv, (0, 2, 1))
+    g0 = -G.sum(axis=1, keepdims=True)
+    grads = np.concatenate([g0, G], axis=1)          # (nc, 4, 3)
+    v = vol[good]
+    gg = np.einsum("cad,cbd->cab", grads, grads)     # ∇φa·∇φb
+    # Ke (nc, 4, 3, 4, 3)
+    Ke = (
+        lam * np.einsum("cai,cbj->caibj", grads, grads)
+        + mu * np.einsum("caj,cbi->caibj", grads, grads)
+        + mu * gg[:, :, None, :, None] * np.eye(3)[None, :, None, :]
+    ) * v[:, None, None, None, None]
+
+    cg = cells[good]
+    dof = (3 * cg[:, :, None] + np.arange(3)[None, None, :]).reshape(-1, 12)
+    rows = np.repeat(dof, 12, axis=1).ravel()
+    cols = np.tile(dof, (1, 12)).ravel()
+    K = sp.coo_matrix(
+        (Ke.reshape(-1, 144).ravel(), (rows, cols)),
+        shape=(3 * npt, 3 * npt),
+    ).tocsr()
+    K.sum_duplicates()
+
+    onb = P[:, 2] < h                                # clamp the bottom face
+    shift = np.where(np.repeat(onb, 3), K.diagonal() * 0.5, 0.0)
+    K = sp.csr_matrix(K + sp.diags(shift))
+    K.sort_indices()
+    K = K.astype(dtype)
+    rhs = np.zeros(K.shape[0], dtype=dtype)
+    rhs[2::3] = -1.0                                 # gravity load
+    return K, rhs, P
+
+
 def fem_poisson_2d(
     npoints: int = 20_000, seed: int = 11, dtype=np.float64
 ) -> tuple[sp.csr_matrix, np.ndarray]:

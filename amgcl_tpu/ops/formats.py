@@ -623,6 +623,36 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
                         "matrix needs too many gather windows for the "
                         "SELL kernel; reorder (Cuthill-McKee) first"
                     )
+    if block > 1 and format in ("auto", "bsell"):
+        # Unstructured block (BSR) operators — the Serena/CoupCons3D
+        # class (reference: amgcl/backend/vexcl_static_matrix.hpp:1).
+        # The block SELL kernel gathers once per source component and
+        # reuses it for all b destination rows, so it is even further
+        # ahead of the XLA-gather block-ELL path than the scalar SELL.
+        try:
+            on_tpu = jax.default_backend() != "cpu"
+        except Exception:
+            on_tpu = False
+        if (format == "bsell" or on_tpu) and jnp.dtype(dtype) in (
+            jnp.float32, jnp.bfloat16, jnp.float64,
+        ):
+            from .pallas_bsell import BlockSellMatrix
+
+            kdt = dtype
+            if format != "bsell" and jnp.dtype(dtype) == jnp.float64:
+                # Mosaic has no 64-bit vectors; auto-selection keeps the
+                # requested f64 only when explicitly forced (CPU path).
+                kdt = None
+            if kdt is not None:
+                S = BlockSellMatrix.from_scipy(A, block=block, dtype=kdt)
+                if S is not None:
+                    return S
+                if format == "bsell":
+                    raise ValueError(
+                        "block pattern needs too many gather windows for "
+                        "the block SELL kernel; reorder (Cuthill-McKee) "
+                        "first"
+                    )
     if block == 1 and format in ("auto", "hybrid"):
         A = sp.csr_matrix(A)
         if A.shape[0] and A.nnz:

@@ -96,7 +96,8 @@ def spmv(A, x: jax.Array) -> jax.Array:
         return _spmv_block_dia(A, x)
     from .pallas_sell import SellMatrix
     from .pallas_sell2 import Sell2Matrix
-    if isinstance(A, (SellMatrix, Sell2Matrix)):
+    from .pallas_bsell import BlockSellMatrix
+    if isinstance(A, (SellMatrix, Sell2Matrix, BlockSellMatrix)):
         return A.spmv(x)
     if isinstance(A, HybridEllMatrix):
         out_dtype = x.dtype

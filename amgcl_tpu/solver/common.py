@@ -20,6 +20,7 @@ from ..ops.formats import (SparseMatrix, DiaMatrix, BlockDiaMatrix,
                            HybridEllMatrix)
 from ..ops.pallas_sell import SellMatrix
 from ..ops.pallas_sell2 import Sell2Matrix
+from ..ops.pallas_bsell import BlockSellMatrix
 from ..ops.spmv import spmv
 from ..ops import blas1
 
@@ -33,7 +34,8 @@ def as_operator(A) -> Callable:
     """Accept a sparse matrix (any device format) or a linear-operator
     callable."""
     if isinstance(A, (SparseMatrix, DiaMatrix, BlockDiaMatrix,
-                      HybridEllMatrix, SellMatrix, Sell2Matrix)):
+                      HybridEllMatrix, SellMatrix, Sell2Matrix,
+                      BlockSellMatrix)):
         return lambda v: spmv(A, v)
     if callable(A):
         return A
