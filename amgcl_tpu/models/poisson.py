@@ -83,7 +83,10 @@ def poisson3d_dia(n: int, dtype="float32"):
 
     data = assemble()
     nnz = N + 6 * N - 6 * n * n  # interior bonds counted once per side
-    A = DiaMatrix(data=data, offsets=offsets, shape=(N, N), nnz=int(nnz))
+    A = DiaMatrix(
+        data=data, offsets=offsets, shape=(N, N), nnz=int(nnz),
+        stencil_hint=(-1.0, -1.0, -1.0, 6.0, -1.0, -1.0, -1.0),
+    )
     return A, jnp.ones(N, dtype=dtype)
 
 

@@ -169,7 +169,7 @@ class SparseMatrix:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["data"],
-    meta_fields=["offsets", "shape", "nnz"],
+    meta_fields=["offsets", "shape", "nnz", "stencil_hint"],
 )
 @dataclasses.dataclass(frozen=True)
 class DiaMatrix:
@@ -190,6 +190,13 @@ class DiaMatrix:
     offsets: tuple        # (D,) static ints, sorted
     shape: tuple
     nnz: int
+    # Optional host-side copy of the interior-row stencil values (same
+    # order as offsets).  Assemblers that know their stencil set it so
+    # setup prediction needs ZERO device programs — on tunnelled devices
+    # the first mid-setup sync otherwise absorbs any compile-server
+    # queue wait (measured minutes under congestion).  Verified against
+    # the device absmax during setup like any prediction.
+    stencil_hint: tuple | None = None
 
     @property
     def dtype(self):

@@ -463,11 +463,19 @@ def _predict_plan(A: DiaMatrix, dims, prm, relax_factor, eps_strong,
 
     stats = _predict_stats if isinstance(_predict_stats, dict) else {}
     t0 = _t.perf_counter()
-    center = int(np.ravel_multi_index(tuple(d // 2 for d in dims), dims))
-    # This device fetch is the first *forced* sync after assembly on
-    # async-dispatch backends: it absorbs any queued compile/execute
-    # work, so time it separately (the host predict itself is ~0.5 s).
-    interior = np.asarray(A.data[:, center], dtype=np.float64)
+    if getattr(A, "stencil_hint", None) is not None:
+        # Assembler-provided interior stencil: zero device programs in
+        # the whole predict phase (the absmax verification still checks
+        # it during setup, so a wrong hint only costs the fallback).
+        interior = np.asarray(A.stencil_hint, dtype=np.float64)
+    else:
+        center = int(
+            np.ravel_multi_index(tuple(d // 2 for d in dims), dims)
+        )
+        # This device fetch is the first *forced* sync after assembly on
+        # async-dispatch backends: it absorbs any queued compile/execute
+        # work, so time it separately (the host predict is ~0.5 s).
+        interior = np.asarray(A.data[:, center], dtype=np.float64)
     stats["fetch_s"] = _t.perf_counter() - t0
     t0 = _t.perf_counter()
 
