@@ -68,6 +68,7 @@ class Solver:
             self.solver_name = solver
             self._solver_fn = make_solver_fn(solver)
             self.A_dev = A.astype(solver_dtype)
+            self.A32_dev = None   # DIA astype keeps the fast kernel
             # Options meaningless on the device-matrix path are rejected
             # rather than silently ignored.
             if solver_params.pop("device_setup", True) is False:
@@ -124,6 +125,26 @@ class Solver:
         # f64; the hierarchy below stays in f32).
         self.A_dev = from_scipy_auto(A, block=block, dtype=solver_dtype,
                                      format=matrix_format)
+        # refine's inner f32 solve gets its own format selection: an
+        # astype() of the f64 outer format inherits that format's layout,
+        # and the fast unstructured kernels (SELL) are f32-only — invisible
+        # to the f64 pick.  Without this the inner Krylov A·p rides the
+        # serialized-gather path on TPU.
+        self.A32_dev = None
+        if solver == "refine" and jnp.dtype(solver_dtype) == jnp.float64:
+            from .ops.formats import BlockDiaMatrix
+
+            A32 = self.A_dev.astype(jnp.float32)
+            if type(A32) is type(self.A_dev) and not isinstance(
+                self.A_dev, (DiaMatrix, BlockDiaMatrix)
+            ):
+                # astype stayed in the f64 pick's (possibly gather-slow)
+                # layout; rerun selection in f32, which may find an
+                # f32-only kernel format (DIA astype is already fast)
+                A32 = from_scipy_auto(A, block=block, dtype=jnp.float32,
+                                      format=matrix_format)
+            if type(A32) is not type(self.A_dev):
+                self.A32_dev = A32
 
         device_setup = solver_params.pop("device_setup", False)
         if isinstance(precond, str):
@@ -204,46 +225,53 @@ class Solver:
         solver_fn = self._solver_fn
         params = dict(self.solver_params)
 
+        A32_dev = getattr(self, "A32_dev", None)
+
         if isinstance(self.precond, (AMG, GridAMG, DeviceGeneralAMG)):
             prm = self.precond.prm
 
             @partial(jax.jit, static_argnames=())
-            def run(A_dev, levels, rhs, x0):
+            def run(A_dev, A32, levels, rhs, x0):
                 P = lambda r: amg_apply(levels, r, prm)
-                return solver_fn(A_dev, P, rhs, x0, **params)
+                extra = {} if A32 is None else {"A32": A32}
+                return solver_fn(A_dev, P, rhs, x0, **extra, **params)
 
             return lambda rhs, x0: run(
-                self.A_dev, self.precond.levels, rhs, x0
+                self.A_dev, A32_dev, self.precond.levels, rhs, x0
             )
 
         if isinstance(self.precond, AsPreconditioner):
 
             @jax.jit
-            def run(A_dev, state, P_A, rhs, x0):
+            def run(A_dev, A32, state, P_A, rhs, x0):
                 P = make_relax_precond(state, P_A)
-                return solver_fn(A_dev, P, rhs, x0, **params)
+                extra = {} if A32 is None else {"A32": A32}
+                return solver_fn(A_dev, P, rhs, x0, **extra, **params)
 
             return lambda rhs, x0: run(
-                self.A_dev, self.precond.state, self.precond.A_dev, rhs, x0
+                self.A_dev, A32_dev, self.precond.state,
+                self.precond.A_dev, rhs, x0
             )
 
         if isinstance(self.precond, DummyPrecond):
 
             @jax.jit
-            def run(A_dev, rhs, x0):
-                return solver_fn(A_dev, None, rhs, x0, **params)
+            def run(A_dev, A32, rhs, x0):
+                extra = {} if A32 is None else {"A32": A32}
+                return solver_fn(A_dev, None, rhs, x0, **extra, **params)
 
-            return lambda rhs, x0: run(self.A_dev, rhs, x0)
+            return lambda rhs, x0: run(self.A_dev, A32_dev, rhs, x0)
 
         # Generic object with .apply — cannot pass state as pytree; jit with
         # the precondition closed over (compiled once per Solver).
         P = self.precond
 
         @jax.jit
-        def run(A_dev, rhs, x0):
-            return solver_fn(A_dev, P.apply, rhs, x0, **params)
+        def run(A_dev, A32, rhs, x0):
+            extra = {} if A32 is None else {"A32": A32}
+            return solver_fn(A_dev, P.apply, rhs, x0, **extra, **params)
 
-        return lambda rhs, x0: run(self.A_dev, rhs, x0)
+        return lambda rhs, x0: run(self.A_dev, A32_dev, rhs, x0)
 
     # ------------------------------------------------------------------
     def __call__(self, rhs, x0=None):
@@ -281,6 +309,12 @@ class Solver:
             A, block=self.block, dtype=self.A_dev.dtype,
             format=self._matrix_format,
         )
+        if getattr(self, "A32_dev", None) is not None:
+            self.A32_dev = from_scipy_auto(
+                A, block=self.block, dtype=jnp.float32,
+                format=self._matrix_format,
+            )
+            self._compiled = self._make_jitted()
         return self
 
     def __repr__(self):

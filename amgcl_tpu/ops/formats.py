@@ -599,7 +599,7 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
                 return BlockDiaMatrix.from_scipy(
                     A, block=block, dtype=dtype, _analysis=analysis
                 )
-    if block == 1 and format in ("auto", "sell"):
+    if block == 1 and format in ("auto", "sell", "sell_f64"):
         # On TPU backends the windowed-gather Pallas kernel (SELL) is
         # ~12x faster than any XLA-gather format for unstructured
         # patterns (XLA gathers serialize at ~0.14 Gelem/s on chip);
@@ -626,6 +626,23 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
                 if S is not None:
                     return S
                 if format == "sell":
+                    raise ValueError(
+                        "matrix needs too many gather windows for the "
+                        "SELL kernel; reorder (Cuthill-McKee) first"
+                    )
+        if (format == "sell_f64" or on_tpu) and jnp.dtype(dtype) \
+                == jnp.float64 and format in ("auto", "sell_f64"):
+            # f64 unstructured operators (refine's outer defect SpMV, f64
+            # hierarchies): double-f32 compensated SELL kernel instead of
+            # the serialized XLA gather path (Mosaic has no f64 vectors).
+            from .pallas_sell2 import Sell2F64Matrix
+
+            A = sp.csr_matrix(A)
+            if A.shape[0] and A.nnz:
+                S = Sell2F64Matrix.from_scipy(A)
+                if S is not None:
+                    return S
+                if format == "sell_f64":
                     raise ValueError(
                         "matrix needs too many gather windows for the "
                         "SELL kernel; reorder (Cuthill-McKee) first"

@@ -286,6 +286,248 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
 
 
 # ----------------------------------------------------------------------
+# double-f32 (f64-accurate) kernel
+# ----------------------------------------------------------------------
+#
+# Mosaic has no 64-bit vectors, so f64 operators historically fell back
+# to the serialized XLA gather path (~0.14 Gelem/s).  This variant keeps
+# the windowed-gather structure and carries VALUES as double-f32 pairs
+# (hi + lo, hi = f32(v), lo = f32(v - hi)) with compensated arithmetic:
+# error-free TwoProd (Dekker/Veltkamp split — Mosaic exposes no FMA) and
+# TwoSum accumulation.  Result error is O(eps_f32^2) ≈ 1e-14 relative —
+# enough to certify 1e-8 true residuals, which is all the f64 outer
+# operators (refine's defect correction) need.  Gather work doubles
+# (x_hi and x_lo windows); VPU work is ~10x the plain kernel's, but the
+# plain kernel is gather-bound, not VPU-bound.
+
+def _df_two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _df_two_prod(a, b):
+    p = a * b
+    ca = a * 4097.0
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * 4097.0
+    bh = cb - (cb - b)
+    bl = b - bh
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _sell2_df_kernel(R, nw, S_pad,
+                     dh_ref, dl_ref, enc_ref, bases_ref, x_ref,
+                     yh_ref, yl_ref):
+    """Double-f32 variant of _sell2_kernel (W=128 only).  x_ref is
+    (2*S_pad, 128): hi plane then lo plane."""
+    off = np.concatenate([[0], np.cumsum(nw)]).astype(int)
+    B = len(nw)
+    for r in range(R):
+        lsl = slice(r * 128, (r + 1) * 128)
+        sh = jnp.zeros((8, 128), jnp.float32)
+        sl = jnp.zeros((8, 128), jnp.float32)
+        for b in range(B):
+            if nw[b] == 0:
+                continue
+            dh = dh_ref[b * 8 : b * 8 + 8, lsl]
+            dl = dl_ref[b * 8 : b * 8 + 8, lsl]
+            e = enc_ref[b * 8 : b * 8 + 8, lsl]
+            lo = e & jnp.int32(127)
+            hs = jax.lax.shift_right_logical(e, jnp.int32(7))
+            gh = jnp.zeros((8, 128), jnp.float32)
+            gl = jnp.zeros((8, 128), jnp.float32)
+            for w in range(nw[b]):
+                t = bases_ref[r, off[b] + w]
+                rowh = x_ref[pl.ds(t, 1), :]
+                rowl = x_ref[pl.ds(t + jnp.int32(S_pad), 1), :]
+                g1 = _lane_gather(jnp.broadcast_to(rowh, (8, 128)), lo)
+                g2 = _lane_gather(jnp.broadcast_to(rowl, (8, 128)), lo)
+                if nw[b] == 1:
+                    gh, gl = g1, g2
+                else:
+                    sel = hs == jnp.int32(w)
+                    gh = gh + jnp.where(sel, g1, 0.0)
+                    gl = gl + jnp.where(sel, g2, 0.0)
+            ph, pe = _df_two_prod(dh, gh)
+            cross = dh * gl + dl * gh
+            sh, e1 = _df_two_sum(sh, ph)
+            sl = sl + (pe + cross + e1)
+        # reduce 8 sublanes -> 1 with pairwise double-f32 merges
+        for half in (4, 2, 1):
+            h1, l1 = sh[:half], sl[:half]
+            h2, l2 = sh[half : 2 * half], sl[half : 2 * half]
+            sh, e = _df_two_sum(h1, h2)
+            sl = l1 + l2 + e
+        yh_ref[0:1, lsl] = sh
+        yl_ref[0:1, lsl] = sl
+
+
+def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
+                         interpret: bool = False) -> jax.Array:
+    """y = A @ x with f64-accurate double-f32 arithmetic.  x f64; the
+    class arrays carry (data_hi, data_lo, enc, bases)."""
+    n, m, S_pad, W, R = (meta[k] for k in ("n", "m", "S_pad", "W", "R"))
+    assert W == 128, "df kernel packs with W=128"
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(x.dtype)).astype(jnp.float32)
+    x2 = jnp.stack([xh, xl])                               # (2, m)
+    x2 = jnp.pad(x2, ((0, 0), (0, S_pad * 128 - m)))
+    x2 = x2.reshape(2 * S_pad, 128)
+
+    outs = []
+    for spec, (dh, dl, enc, bases) in zip(meta["classes"], class_arrays):
+        K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
+        L = bases.shape[1]
+        grid = Gp // R
+        yh, yl = pl.pallas_call(
+            partial(_sell2_df_kernel, R, nw, S_pad),
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec(
+                    (R, L), lambda g: (g, jnp.int32(0)),
+                    memory_space=pltpu.MemorySpace.SMEM,
+                ),
+                pl.BlockSpec(
+                    (2 * S_pad, 128),
+                    lambda g: (jnp.int32(0), jnp.int32(0)),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, Gp * 128), jnp.float32),
+                jax.ShapeDtypeStruct((1, Gp * 128), jnp.float32),
+            ],
+            interpret=interpret,
+        )(dh, dl, enc, bases, x2)
+        outs.append(
+            yh[0, : Gc * 128].astype(x.dtype)
+            + yl[0, : Gc * 128].astype(x.dtype)
+        )
+    out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    return out[:n]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["arrays"],
+    meta_fields=["meta"],
+)
+@dataclasses.dataclass(frozen=True)
+class Sell2F64Matrix:
+    """f64-accurate SELL operator: values as double-f32 (hi, lo) planes
+    sharing one enc/bases table.  Selected on TPU for unstructured f64
+    operators (refine's outer defect SpMV, f64 hierarchies) where plain
+    f64 falls to the serialized XLA gather path.  astype(float32) is free
+    structurally: it returns a Sell2Matrix viewing the hi planes."""
+
+    arrays: tuple          # ((data_hi, data_lo, enc, bases), ...)
+    meta: tuple
+
+    @property
+    def _m(self):
+        d = dict(self.meta)
+        d["classes"] = [dict(c) for c in d["classes"]]
+        return d
+
+    @property
+    def shape(self):
+        d = dict(self.meta)
+        return (d["n"], d["m"])
+
+    @property
+    def dtype(self):
+        return jnp.dtype(jnp.float64)
+
+    @property
+    def block(self):
+        return 1
+
+    @property
+    def nnz(self):
+        return dict(self.meta)["nnz"]
+
+    @property
+    def nbytes(self):
+        return sum(
+            dh.size * 8 + e.size * 4 + b.size * 4
+            for dh, _, e, b in self.arrays
+        )
+
+    def astype(self, dtype):
+        if jnp.dtype(dtype) == jnp.float64:
+            return self
+        return Sell2Matrix(
+            arrays=tuple(
+                (dh.astype(dtype), e, b) for dh, _, e, b in self.arrays
+            ),
+            meta=self.meta,
+        )
+
+    @staticmethod
+    def from_scipy(A, R: int = 4, max_classes: int = 6, nw_cap: int = 64):
+        packed = pack_sell2(A, W=128, R=R, max_classes=max_classes,
+                            nw_cap=nw_cap)
+        if packed is None:
+            return None
+        arrays = []
+        classes_meta = []
+        for c in packed["classes"]:
+            hi = c["data"].astype(np.float32)
+            lo = (c["data"] - hi.astype(np.float64)).astype(np.float32)
+            arrays.append((
+                jnp.asarray(hi),
+                jnp.asarray(lo),
+                jnp.asarray(c["enc"]),
+                jnp.asarray(c["bases"]),
+            ))
+            classes_meta.append(tuple(sorted(
+                (k, v if not isinstance(v, tuple) else v)
+                for k, v in c.items()
+                if k not in ("data", "enc", "bases")
+            )))
+        meta = tuple(sorted(
+            [(k, v) for k, v in packed.items() if k != "classes"]
+            + [("classes", tuple(classes_meta))]
+        ))
+        return Sell2F64Matrix(arrays=tuple(arrays), meta=meta)
+
+    def spmv(self, x: jax.Array) -> jax.Array:
+        if jax.default_backend() == "cpu":
+            return self._spmv_xla(x)
+        return sell2_df_spmv_pallas(self._m, x, self.arrays)
+
+    def _spmv_xla(self, x: jax.Array) -> jax.Array:
+        """CPU mirror: recombine hi+lo to f64 and run the plain decode."""
+        plain = Sell2Matrix(
+            arrays=tuple(
+                (dh.astype(jnp.float64) + dl.astype(jnp.float64), e, b)
+                for dh, dl, e, b in self.arrays
+            ),
+            meta=self.meta,
+        )
+        return plain._spmv_xla(x.astype(jnp.float64)).astype(x.dtype)
+
+    def to_scipy(self) -> sp.csr_matrix:
+        plain = Sell2Matrix(
+            arrays=tuple(
+                (dh.astype(jnp.float64) + dl.astype(jnp.float64), e, b)
+                for dh, dl, e, b in self.arrays
+            ),
+            meta=self.meta,
+        )
+        return plain.to_scipy()
+
+
+# ----------------------------------------------------------------------
 # format wrapper
 # ----------------------------------------------------------------------
 

@@ -95,9 +95,10 @@ def spmv(A, x: jax.Array) -> jax.Array:
     if isinstance(A, BlockDiaMatrix):
         return _spmv_block_dia(A, x)
     from .pallas_sell import SellMatrix
-    from .pallas_sell2 import Sell2Matrix
+    from .pallas_sell2 import Sell2Matrix, Sell2F64Matrix
     from .pallas_bsell import BlockSellMatrix
-    if isinstance(A, (SellMatrix, Sell2Matrix, BlockSellMatrix)):
+    if isinstance(A, (SellMatrix, Sell2Matrix, Sell2F64Matrix,
+                      BlockSellMatrix)):
         return A.spmv(x)
     if isinstance(A, HybridEllMatrix):
         out_dtype = x.dtype

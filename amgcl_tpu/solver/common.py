@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..ops.formats import (SparseMatrix, DiaMatrix, BlockDiaMatrix,
                            HybridEllMatrix)
 from ..ops.pallas_sell import SellMatrix
-from ..ops.pallas_sell2 import Sell2Matrix
+from ..ops.pallas_sell2 import Sell2Matrix, Sell2F64Matrix
 from ..ops.pallas_bsell import BlockSellMatrix
 from ..ops.spmv import spmv
 from ..ops import blas1
@@ -35,7 +35,7 @@ def as_operator(A) -> Callable:
     callable."""
     if isinstance(A, (SparseMatrix, DiaMatrix, BlockDiaMatrix,
                       HybridEllMatrix, SellMatrix, Sell2Matrix,
-                      BlockSellMatrix)):
+                      Sell2F64Matrix, BlockSellMatrix)):
         return lambda v: spmv(A, v)
     if callable(A):
         return A
