@@ -36,6 +36,17 @@ def _load(path):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
 
+    # Honour JAX_PLATFORMS from the environment *in the jax config* too:
+    # out-of-tree backend plugins can hook get_backend and ignore the
+    # env var alone (observed with the axon TPU plugin), leaving a CLI
+    # that was asked for CPU hanging on a remote backend init.
+    import os as _os
+
+    if _os.environ.get("JAX_PLATFORMS"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+
     if argv and argv[0] == "convert":
         from .utils.io import mm_read, mm_write, bin_read, bin_write
 
@@ -72,6 +83,12 @@ def main(argv=None):
                     help="distributed preconditioner class")
     ap.add_argument("--pmask", help="pressure-mask file (0/1 per dof) for "
                     "--dist-precond schur")
+    ap.add_argument("--partition", choices=["slab", "bfs", "bfs-kl"],
+                    default="slab",
+                    help="distributed row partition: contiguous slabs "
+                    "(default), BFS graph-growing reorder, or BFS + "
+                    "Kernighan-Lin boundary refinement (the "
+                    "parmetis/ptscotch role, mpi/partition/)")
     ap.add_argument("--deflation", action="store_true",
                     help="subdomain deflation (distributed runs)")
     ap.add_argument("-o", "--output", help="write solution (.mtx/.bin)")
@@ -131,6 +148,22 @@ def main(argv=None):
             "nullspace"
         ] = B
 
+    part_inv = part_perm = None
+    if args.shards and args.partition != "slab":
+        from .parallel.graph_partition import (
+            partition_bfs, refine_kl, apply_partition, edge_cut,
+        )
+
+        perm = partition_bfs(A, args.shards)
+        if args.partition == "bfs-kl":
+            perm = refine_kl(A, perm, args.shards)
+        cut = edge_cut(A, perm, args.shards)
+        print(f"# partition={args.partition} shards={args.shards} "
+              f"edge_cut={cut}", file=sys.stderr)
+        A, part_inv = apply_partition(A, perm)
+        rhs = np.asarray(rhs)[perm]
+        part_perm = perm
+
     if args.shards:
         from .parallel.dist_solver import DistSolver
         from .coarsening import make_coarsening
@@ -169,6 +202,8 @@ def main(argv=None):
             pm = np.asarray(_load(args.pmask)).ravel()
             if reorder is not None:
                 pm = np.asarray(reorder.forward(pm))
+            if part_perm is not None:
+                pm = pm[part_perm]
             kw["pmask"] = pm.astype(bool)
         amg_keys = {k: pprm.pop(k) for k in list(pprm)
                     if k in {"coarse_enough", "direct_coarse", "max_levels",
@@ -198,6 +233,8 @@ def main(argv=None):
         iters = int(info.iters)
 
     xs = np.asarray(x, dtype=np.float64)
+    if part_inv is not None:
+        xs = xs[part_inv]
     if scale is not None:
         xs = scale.unscale_solution(xs)
     if reorder is not None:

@@ -90,13 +90,15 @@ def plain_aggregates(A: sp.csr_matrix, eps_strong: float = 0.08) -> Aggregates:
     n = A.shape[0]
     strong = strong_connections(A, eps_strong)
 
-    # Lonely nodes are removed (stay at the fine level).
-    row_has_strong = (
-        np.add.reduceat(strong, A.indptr[:-1], dtype=np.int64) > 0
-        if A.nnz
-        else np.zeros(n, dtype=bool)
-    )
-    row_has_strong = row_has_strong & (np.diff(A.indptr) > 0)
+    # Lonely nodes are removed (stay at the fine level).  Per-row any()
+    # via prefix sums — reduceat would crash on empty trailing rows
+    # (indptr entries == nnz are out of range) and silently misreads
+    # empty middle rows.
+    if A.nnz:
+        cs = np.concatenate([[0], np.cumsum(strong, dtype=np.int64)])
+        row_has_strong = (cs[A.indptr[1:]] - cs[A.indptr[:-1]]) > 0
+    else:
+        row_has_strong = np.zeros(n, dtype=bool)
     ids = np.where(row_has_strong, UNDEFINED, REMOVED).astype(np.int64)
 
     count = _greedy_sweep(A.indptr, A.indices, strong, ids)

@@ -130,32 +130,43 @@ def fem_elasticity_3d(
     lam = E * nu / ((1 + nu) * (1 - 2 * nu))
     mu = E / (2 * (1 + nu))
     npt = P.shape[0]
-    X = P[cells]
-    Ee = np.transpose(X[:, 1:, :] - X[:, :1, :], (0, 2, 1))
-    detE = np.linalg.det(Ee)
-    vol = np.abs(detE) / 6.0
-    good = vol > 1e-14 * np.median(vol)
-    Einv = np.linalg.inv(Ee[good])
-    G = np.transpose(Einv, (0, 2, 1))
-    g0 = -G.sum(axis=1, keepdims=True)
-    grads = np.concatenate([g0, G], axis=1)          # (nc, 4, 3)
-    v = vol[good]
-    gg = np.einsum("cad,cbd->cab", grads, grads)     # ∇φa·∇φb
-    # Ke (nc, 4, 3, 4, 3)
-    Ke = (
-        lam * np.einsum("cai,cbj->caibj", grads, grads)
-        + mu * np.einsum("caj,cbi->caibj", grads, grads)
-        + mu * gg[:, :, None, :, None] * np.eye(3)[None, :, None, :]
-    ) * v[:, None, None, None, None]
+    eye3 = np.eye(3)
+    # Chunked assembly: each cell contributes 144 COO entries; a
+    # monolithic triplet buffer at 1M+ dof means several GB of fresh
+    # pages (this class of sandboxed host faults them at ~10 MB/s).
+    # Accumulating per-chunk CSRs keeps the high-water mark at one chunk
+    # plus the growing matrix.
+    K = sp.csr_matrix((3 * npt, 3 * npt), dtype=np.float64)
+    step = 300_000
+    for c0 in range(0, cells.shape[0], step):
+        cc = cells[c0 : c0 + step]
+        X = P[cc]
+        Ee = np.transpose(X[:, 1:, :] - X[:, :1, :], (0, 2, 1))
+        vol = np.abs(np.linalg.det(Ee)) / 6.0
+        good = vol > 1e-12 * np.max(vol)
+        Einv = np.linalg.inv(Ee[good])
+        G = np.transpose(Einv, (0, 2, 1))
+        g0 = -G.sum(axis=1, keepdims=True)
+        grads = np.concatenate([g0, G], axis=1)      # (nc, 4, 3)
+        v = vol[good]
+        gg = np.einsum("cad,cbd->cab", grads, grads)  # ∇φa·∇φb
+        # Ke (nc, 4, 3, 4, 3)
+        Ke = (
+            lam * np.einsum("cai,cbj->caibj", grads, grads)
+            + mu * np.einsum("caj,cbi->caibj", grads, grads)
+            + mu * gg[:, :, None, :, None] * eye3[None, :, None, :]
+        ) * v[:, None, None, None, None]
 
-    cg = cells[good]
-    dof = (3 * cg[:, :, None] + np.arange(3)[None, None, :]).reshape(-1, 12)
-    rows = np.repeat(dof, 12, axis=1).ravel()
-    cols = np.tile(dof, (1, 12)).ravel()
-    K = sp.coo_matrix(
-        (Ke.reshape(-1, 144).ravel(), (rows, cols)),
-        shape=(3 * npt, 3 * npt),
-    ).tocsr()
+        cg = cells[c0 : c0 + step][good]
+        dof = (
+            3 * cg[:, :, None] + np.arange(3)[None, None, :]
+        ).reshape(-1, 12).astype(np.int32)
+        rows = np.repeat(dof, 12, axis=1).ravel()
+        cols = np.tile(dof, (1, 12)).ravel()
+        Kc = sp.coo_matrix(
+            (Ke.reshape(-1), (rows, cols)), shape=(3 * npt, 3 * npt)
+        ).tocsr()
+        K = K + Kc
     K.sum_duplicates()
 
     onb = P[:, 2] < h                                # clamp the bottom face

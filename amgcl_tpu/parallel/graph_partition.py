@@ -72,6 +72,106 @@ def partition_bfs(A: sp.csr_matrix, S: int) -> np.ndarray:
     return order
 
 
+def refine_kl(A: sp.csr_matrix, perm: np.ndarray, S: int,
+              passes: int = 4, max_swaps: int = 2000) -> np.ndarray:
+    """Kernighan–Lin boundary refinement of a slab partition.
+
+    The distributed layer shards *equal contiguous row slabs*, so
+    refinement must preserve exact part sizes: improvement moves are
+    pairwise SWAPS between adjacent slabs (the multilevel-refinement
+    role of parmetis/ptscotch, amgcl/mpi/partition/parmetis.hpp, without
+    the external dependency).  Greedy positive-gain swaps of boundary
+    nodes, repeated for ``passes`` sweeps or until no improvement.
+
+    Returns the refined permutation (same slab sizes as ``perm``)."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    if S <= 1 or n < 2 * S:
+        return perm
+    G = (A + A.T).tocsr()
+    G.sort_indices()
+    indptr, indices = G.indptr, G.indices
+
+    target = (n + S - 1) // S
+    part = np.empty(n, dtype=np.int64)
+    # perm[k] = original row at new position k -> slab k // target
+    part[perm] = np.arange(n) // target
+
+    def ext_deg(i, a, b):
+        """(#edges of i into part a, #edges into part b)."""
+        nb = indices[indptr[i] : indptr[i + 1]]
+        pa = part[nb]
+        return int((pa == a).sum()), int((pa == b).sum())
+
+    for _ in range(passes):
+        improved = False
+        for a in range(S - 1):
+            b = a + 1
+            # boundary candidates of this pair
+            cand_a = [i for i in np.nonzero(part == a)[0]
+                      if (part[indices[indptr[i]:indptr[i + 1]]] == b).any()]
+            cand_b = [i for i in np.nonzero(part == b)[0]
+                      if (part[indices[indptr[i]:indptr[i + 1]]] == a).any()]
+            if not cand_a or not cand_b:
+                continue
+
+            def gain(i, frm, to):
+                da, db = ext_deg(i, frm, to)
+                return db - da           # cut reduction of moving i frm->to
+
+            ga = sorted(((gain(i, a, b), i) for i in cand_a), reverse=True)
+            gb = sorted(((gain(j, b, a), j) for j in cand_b), reverse=True)
+            swaps = 0
+            ia = ib = 0
+            while ia < len(ga) and ib < len(gb) and swaps < max_swaps:
+                gi, i = ga[ia]
+                gj, j = gb[ib]
+                # stale gains (a previous swap may have changed them)
+                gi2 = gain(i, a, b)
+                gj2 = gain(j, b, a)
+                if gi2 != gi:
+                    ga[ia] = (gi2, i)
+                    ga[ia:] = sorted(ga[ia:], reverse=True)
+                    continue
+                if gj2 != gj:
+                    gb[ib] = (gj2, j)
+                    gb[ib:] = sorted(gb[ib:], reverse=True)
+                    continue
+                w = 0
+                nb = indices[indptr[i] : indptr[i + 1]]
+                if j in nb:
+                    w = int((nb == j).sum())
+                if gi + gj - 2 * w <= 0:
+                    break
+                part[i], part[j] = b, a
+                swaps += 1
+                ia += 1
+                ib += 1
+                improved = True
+        if not improved:
+            break
+
+    # rebuild permutation: stable sort by part keeps the BFS ordering
+    # inside each slab (locality within the slab is what the windowed
+    # kernels want)
+    pos_in_perm = np.empty(n, dtype=np.int64)
+    pos_in_perm[perm] = np.arange(n)
+    order = np.lexsort((pos_in_perm, part))
+    return order.astype(np.int64)
+
+
+def edge_cut(A: sp.csr_matrix, perm: np.ndarray, S: int) -> int:
+    """Number of (directed) pattern entries crossing slab boundaries under
+    the slab partition induced by ``perm`` — the halo-size metric."""
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    target = (n + S - 1) // S
+    part = np.empty(n, dtype=np.int64)
+    part[perm] = np.arange(n) // target
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    return int((part[rows] != part[A.indices]).sum())
+
+
 def apply_partition(A: sp.csr_matrix, perm: np.ndarray):
     """Permute matrix (and return the inverse mapping for vectors):
     B = A[perm][:, perm];  x_orig = x_new[inv]."""

@@ -1,0 +1,103 @@
+"""Serena-class benchmark: genuinely unstructured 3x3-block FEM
+elasticity (reference: docs/tutorial/Serena.rst — 1,391,349 dof /
+64.5M nnz gas-reservoir elasticity; matrix not available offline, so the
+stand-in is P1 elasticity on a shuffled jittered-lattice Delaunay mesh,
+amgcl_tpu/models/unstructured.py::fem_elasticity_3d).
+
+Reference numbers on Serena (Serena.rst:137-143, 255-262, 414-421):
+  block 3x3 f64:          120 iters, solve 70.0 s   (1 CPU node)
+  block + mixed float:    162 iters, solve 29.4 s, setup 1.01 s
+  VexCL GPU mixed:        err 9.75e-9, solve 6.42 s
+
+Here: CG + AMG(pointwise SA + SPAI0) over 3x3 BSR, mixed precision via
+the refine driver (f32 block-SELL inner, f64 defect outer).  On TPU the
+block hierarchy rides the BlockSell windowed-gather kernel
+(ops/pallas_bsell.py).
+
+Prints one BENCH-style JSON line per configuration.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    from amgcl_tpu.utils.hostmem import ensure_fast_heap
+
+    ensure_fast_heap()
+
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    npoints = int(sys.argv[1]) if len(sys.argv) > 1 else 340_000
+
+    from amgcl_tpu.models.unstructured import fem_elasticity_3d
+    from amgcl_tpu import make_block_solver
+
+    t0 = time.time()
+    A, rhs, _ = fem_elasticity_3d(npoints)
+    A = sp.csr_matrix(A)
+    gen_s = time.time() - t0
+
+    # block-respecting bandwidth-reducing reorder (the reference CLI's
+    # Cuthill-McKee on the block graph, adapter/reorder.hpp)
+    t0 = time.time()
+    B = sp.bsr_matrix(A, blocksize=(3, 3))
+    pat = sp.csr_matrix(
+        (np.ones(len(B.indices), np.float32), B.indices, B.indptr)
+    )
+    p = sp.csgraph.reverse_cuthill_mckee(pat, symmetric_mode=True)
+    ps = (p[:, None] * 3 + np.arange(3)[None, :]).ravel()
+    A = A[ps][:, ps].tocsr()
+    A.sort_indices()
+    rhs = rhs[ps]
+    rcm_s = time.time() - t0
+    print(f"# n={A.shape[0]} nnz={A.nnz} generate={gen_s:.1f}s "
+          f"rcm={rcm_s:.1f}s", file=sys.stderr)
+
+    configs = (
+        # mixed precision (the reference's winning Serena config class):
+        # f32 block hierarchy + inner CG, f64 defect correction
+        ("refine_block_1e-8", dict(
+            solver="refine", tol=1e-8, maxiter=25, inner="cg",
+            inner_tol=1e-4, inner_maxiter=100,
+        )),
+    )
+    for label, kw in configs:
+        t0 = time.time()
+        S = make_block_solver(A, block=3, **kw)
+        setup_s = time.time() - t0
+
+        x, info = S(rhs)                    # warm-up & compile
+        iters = int(info.iters)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            x, info = S(rhs)
+            _ = int(info.iters)
+            times.append(time.time() - t0)
+        solve_s = min(times)
+
+        rel = float(np.linalg.norm(
+            rhs - A @ np.asarray(x, np.float64)
+        )) / float(np.linalg.norm(rhs))
+        fmt = type(S.precond.levels[0].A).__name__
+
+        print(json.dumps({
+            "metric": f"serena_class_block3_{A.shape[0]}dof_{label}",
+            "value": round(solve_s, 4),
+            "unit": "seconds",
+            "vs_baseline": round(29.4 / solve_s, 2),
+        }))
+        print(f"# {label}: iters={iters} rel={rel:.2e} setup={setup_s:.1f}s"
+              f" solve={solve_s:.4f}s L0={fmt} "
+              "(baseline: Serena mixed CPU solve 29.4s @ 162 iters, "
+              "GPU 6.42s)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,11 +84,25 @@ def main():
         "unit": "seconds",
         "vs_baseline": round(3.41 / solve_s, 2),
     }))
-    run("fgmres + Schur (usolve)",
+    # The QUALITY configuration (reference iteration band: 35 iters at
+    # 554k dof, Stokes.rst:121-176): exact nested usolve in the Schur
+    # action + inner-CG psolver.  12-13 outer iterations at every tested
+    # size (vs ~87+ for the approx row) — each apply is costlier (the
+    # psolver's Schur operator applications each run a u V-cycle), so
+    # both rows are reported.
+    q_solve, q_iters, q_rel = run(
+        "fgmres + Schur (usolve)",
         lambda: make_solver(
             A, solver="fgmres", tol=1e-8, maxiter=200,
             precond=SchurPressureCorrection(A, pmask, approx_schur=False),
         ))
+    print(json.dumps({
+        "metric": f"{tag}_fgmres_schur_usolve_to_1e-8",
+        "value": round(q_solve, 4),
+        "unit": "seconds",
+        "vs_baseline": round(3.41 / q_solve, 2),
+    }))
+    print(f"# quality row: {q_iters} iters (reference band: 35)")
 
 
 if __name__ == "__main__":

@@ -201,6 +201,68 @@ def test_graph_partition():
     assert merge_small(1024, 8, min_per_shard=256) == 4
 
 
+def test_graph_partition_kl_refinement():
+    """Kernighan-Lin boundary refinement reduces the slab edge cut while
+    preserving exact slab sizes (the parmetis/ptscotch quality role,
+    amgcl/mpi/partition/parmetis.hpp)."""
+    import numpy as np
+    import scipy.sparse as sp
+    from amgcl_tpu.models.unstructured import fem_poisson_2d
+    from amgcl_tpu.parallel.graph_partition import (
+        partition_bfs, refine_kl, edge_cut)
+
+    A, _ = fem_poisson_2d(3000)
+    A = sp.csr_matrix(A)
+    S = 4
+    perm = partition_bfs(A, S)
+    cut0 = edge_cut(A, perm, S)
+    perm2 = refine_kl(A, perm, S)
+    cut1 = edge_cut(A, perm2, S)
+    # valid permutation, same slab sizes by construction
+    assert sorted(perm2) == list(range(A.shape[0]))
+    assert cut1 < cut0, (cut0, cut1)
+    # identity-ish cases
+    assert refine_kl(A, perm, 1) is perm
+
+
+def test_cli_partition_flag(tmp_path):
+    """--partition bfs-kl solves a shuffled problem on a CPU mesh and
+    returns the solution in the original row order."""
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    import scipy.sparse as sp
+    from amgcl_tpu.models.poisson import poisson2d
+    from amgcl_tpu.utils import io as aio
+
+    A, rhs = poisson2d(24)
+    rng = np.random.default_rng(3)
+    p = rng.permutation(A.shape[0])
+    Pm = sp.csr_matrix((np.ones(len(p)), (np.arange(len(p)), p)),
+                       shape=A.shape)
+    Ashuf = (Pm @ A @ Pm.T).tocsr()
+    rhss = rhs[p]
+    aio.mm_write(str(tmp_path / "A.mtx"), Ashuf)
+    aio.mm_write(str(tmp_path / "b.mtx"), rhss[:, None])
+    out = tmp_path / "x.mtx"
+    env = dict(__import__("os").environ,
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [_sys.executable, "-m", "amgcl_tpu.cli", "-A", str(tmp_path / "A.mtx"),
+         "-f", str(tmp_path / "b.mtx"), "--shards", "4",
+         "--partition", "bfs-kl", "-o", str(out),
+         "solver.tol=1e-8"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "edge_cut" in r.stderr
+    x = np.asarray(aio.mm_read(str(out))).ravel()
+    res = np.linalg.norm(rhss - Ashuf @ x) / np.linalg.norm(rhss)
+    assert res < 1e-7, res
+
+
 def test_bandwidth_report():
     """Roofline observability: the report runs and contains GB/s."""
     from amgcl_tpu import make_solver
