@@ -135,9 +135,10 @@ class Solver:
             from .ops.formats import BlockDiaMatrix
 
             A32 = self.A_dev.astype(jnp.float32)
-            if type(A32) is type(self.A_dev) and not isinstance(
-                self.A_dev, (DiaMatrix, BlockDiaMatrix)
-            ):
+            if block > 1 or (type(A32) is type(self.A_dev)
+                             and not isinstance(
+                                 self.A_dev, (DiaMatrix, BlockDiaMatrix)
+                             )):
                 # astype stayed in the f64 pick's (possibly gather-slow)
                 # layout; rerun selection in f32, which may find an
                 # f32-only kernel format (DIA astype is already fast)

@@ -634,7 +634,8 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
                 == jnp.float64 and format in ("auto", "sell_f64"):
             # f64 unstructured operators (refine's outer defect SpMV, f64
             # hierarchies): double-f32 compensated SELL kernel instead of
-            # the serialized XLA gather path (Mosaic has no f64 vectors).
+            # the serialized XLA gather path (Mosaic has no 64-bit
+            # vectors).
             from .pallas_sell2 import Sell2F64Matrix
 
             A = sp.csr_matrix(A)
@@ -647,6 +648,25 @@ def from_scipy_auto(A, block: int = 1, dtype=jnp.float32, max_diags=None,
                         "matrix needs too many gather windows for the "
                         "SELL kernel; reorder (Cuthill-McKee) first"
                     )
+    if block > 1 and jnp.dtype(dtype) == jnp.float64 \
+            and format in ("auto", "sell_f64"):
+        # f64 *block* operators (the Serena-class outer operator in an
+        # f64 Krylov loop): the scalar double-f32 SELL view is
+        # mathematically identical for SpMV and still far ahead of the
+        # serialized-gather block-ELL path.  The f32 hierarchy keeps the
+        # block kernel (windows on the block graph are much cheaper).
+        try:
+            on_tpu = jax.default_backend() != "cpu"
+        except Exception:
+            on_tpu = False
+        if format == "sell_f64" or on_tpu:
+            from .pallas_sell2 import Sell2F64Matrix
+
+            A = sp.csr_matrix(A)
+            if A.shape[0] and A.nnz:
+                S = Sell2F64Matrix.from_scipy(A)
+                if S is not None:
+                    return S
     if block > 1 and format in ("auto", "bsell"):
         # Unstructured block (BSR) operators — the Serena/CoupCons3D
         # class (reference: amgcl/backend/vexcl_static_matrix.hpp:1).

@@ -48,6 +48,45 @@ def _chunks(n, nch):
     return [slice(i, min(i + size, n)) for i in range(0, n, size)]
 
 
+# ---- shape bucketing -------------------------------------------------
+# Every distinct (shape, static-bound) tuple is a separate XLA program,
+# and on tunnelled devices each big-sort compile costs ~45 s+.  All
+# widths/bounds/chunk sizes are therefore bucketed to powers of two
+# (min 8) and row chunks padded to one fixed size, so the expensive sort
+# programs are REUSED across chunks, retries and levels.
+
+def _pow2_8(x: int) -> int:
+    b = 8
+    while b < x:
+        b *= 2
+    return b
+
+
+def _pad_ell_width(data, cols, Kb):
+    """Pad ELL width with zero-valued slots whose column duplicates the
+    row's slot-0 column: padded product terms land on keys that already
+    exist, merging as +0 — the sort-width bounds do not inflate."""
+    K = data.shape[0]
+    if Kb == K:
+        return data, cols
+    pd = jnp.zeros((Kb - K, data.shape[1]), data.dtype)
+    pc = jnp.broadcast_to(cols[0:1], (Kb - K, cols.shape[1]))
+    return jnp.concatenate([data, pd]), jnp.concatenate([cols, pc])
+
+
+def _pad_ell_rows(data, cols, size):
+    """Pad the row axis with zero rows (col 0, val 0)."""
+    n = data.shape[1]
+    if size == n:
+        return data, cols
+    pd = jnp.zeros((data.shape[0], size - n), data.dtype)
+    pc = jnp.zeros((cols.shape[0], size - n), cols.dtype)
+    return (
+        jnp.concatenate([data, pd], axis=1),
+        jnp.concatenate([cols, pc], axis=1),
+    )
+
+
 @partial(jax.jit, static_argnames=("nc", "kc"))
 def _merge_partial_ell(parts, nc, kc):
     """Sum per-chunk partial Ac ELLs (disjoint fine-row contributions to
@@ -216,70 +255,88 @@ def build_ell_hierarchy(
         # Fine-row chunking bounds the sort-stage peak memory: each
         # chunk's product terms are expanded, sorted and compressed
         # independently; AP chunks concatenate by rows, Ac chunks
-        # re-merge through one final (much smaller) sort.
+        # re-merge through one final (much smaller) sort.  Widths and
+        # chunk sizes are power-of-two-bucketed and padded so the sort
+        # programs are shared across chunks/retries/levels (see
+        # _pow2_8 above).
         TERM_CAP = _TERM_CAP
 
-        kap = _round8(K + 8)
+        Kb = _pow2_8(K)
+        Kpb = _pow2_8(K + 1)
+        nc_b = _pow2_8(nc)
+        dA, cA = _pad_ell_width(data, cols, Kb)
+        dP, cP = _pad_ell_width(P_data, P_cols, Kpb)
+
+        kap = _pow2_8(K + 9)
         while True:
-            terms = K * (K + 1) * n
-            nch = max(1, -(-terms // TERM_CAP))
+            CH = max(1024, _TERM_CAP // max(Kb * Kpb, 1))
+            CH = 1 << (CH.bit_length() - 1)              # pow2 floor
+            if CH >= n:
+                CH = _pow2_8(n)
+            nch = -(-n // CH)
+            dAp, cAp = _pad_ell_rows(dA, cA, nch * CH)
             AP_parts = []
             kmax_all = 0
-            for sl in _chunks(n, nch):
+            for sl in _chunks(nch * CH, nch):
                 # A rows are sliced; P stays full (its rows are gathered
                 # by A's *global* column indices)
                 d_, c_, kmax, _ = spgemm_ap_device(
-                    data[:, sl], cols[:, sl], P_data, P_cols, kap
+                    dAp[:, sl], cAp[:, sl], dP, cP, kap
                 )
                 AP_parts.append((d_, c_))
                 kmax_all = max(kmax_all, int(kmax))
             if kmax_all <= kap:
                 break
             stats["retries"] += 1
-            kap = _round8(kmax_all)
-        AP_d = jnp.concatenate([p[0] for p in AP_parts], axis=1)
-        AP_c = jnp.concatenate([p[1] for p in AP_parts], axis=1)
+            kap = _pow2_8(kmax_all)
+        AP_d = jnp.concatenate([p[0] for p in AP_parts], axis=1)[:, :n]
+        AP_c = jnp.concatenate([p[1] for p in AP_parts], axis=1)[:, :n]
         t0 = _mark("ap", t0, AP_d)
 
-        kc = _round8(4 * K)
+        kc = _pow2_8(4 * K)
         while True:
-            terms = (K + 1) * kap * n
-            nch = max(1, -(-terms // TERM_CAP))
-            if nch == 1:
-                Ac_d, Ac_c, kmax_c, nnz_c = spgemm_ptb_device(
-                    P_data, P_cols, AP_d, AP_c, nc, kc
+            CH = max(1024, _TERM_CAP // max(Kpb * kap, 1))
+            CH = 1 << (CH.bit_length() - 1)
+            if CH >= n:
+                CH = _pow2_8(n)
+            nch = -(-n // CH)
+            dPp, cPp = _pad_ell_rows(dP, cP, nch * CH)
+            dB, cB = _pad_ell_rows(AP_d, AP_c, nch * CH)
+            parts = []
+            ok = True
+            for sl in _chunks(nch * CH, nch):
+                d_, c_, kmax_c, nnz_c = spgemm_ptb_device(
+                    dPp[:, sl], cPp[:, sl], dB[:, sl], cB[:, sl],
+                    nc_b, kc
+                )
+                if int(kmax_c) > kc:
+                    ok = False
+                    break
+                parts.append((d_, c_))
+            if ok and len(parts) > 1:
+                Ac_d, Ac_c, kmax_c, nnz_c = _merge_partial_ell(
+                    parts, nc_b, kc
                 )
                 ok = int(kmax_c) <= kc
-            else:
-                parts = []
-                ok = True
-                for sl in _chunks(n, nch):
-                    d_, c_, kmax_c, _ = spgemm_ptb_device(
-                        P_data[:, sl], P_cols[:, sl], AP_d[:, sl],
-                        AP_c[:, sl], nc, kc
-                    )
-                    if int(kmax_c) > kc:
-                        ok = False
-                        break
-                    parts.append((d_, c_))
-                if ok:
-                    Ac_d, Ac_c, kmax_c, nnz_c = _merge_partial_ell(
-                        parts, nc, kc
-                    )
-                    ok = int(kmax_c) <= kc
+            elif ok:
+                Ac_d, Ac_c = parts[0]
             if ok:
                 break
             stats["retries"] += 1
-            kc = _round8(max(int(kmax_c), kc + 8))
+            kc = _pow2_8(max(int(kmax_c), kc + 8))
+        Ac_d = Ac_d[:, :nc]
+        Ac_c = jnp.minimum(Ac_c[:, :nc], nc - 1)
         t0 = _mark("rap", t0, Ac_d)
 
-        kr = _round8(3 * (K + 1))
+        kr = _pow2_8(3 * (K + 1))
         while True:
-            R_d, R_c, kmax_r, nnz_r = _transpose_ell(P_data, P_cols, nc, kr)
+            R_d, R_c, kmax_r, nnz_r = _transpose_ell(dP, cP, nc_b, kr)
             if int(kmax_r) <= kr:
                 break
             stats["retries"] += 1
-            kr = _round8(int(kmax_r))
+            kr = _pow2_8(int(kmax_r))
+        R_d = R_d[:, :nc]
+        R_c = R_c[:, :nc]
         t0 = _mark("transpose", t0, R_d)
 
         P_sp = _wrap(P_data, P_cols, (n, nc), int(nnz_r))

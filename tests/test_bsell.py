@@ -102,6 +102,21 @@ def test_window_cap_returns_none():
     assert S is None
 
 
+def test_f64_block_outer_uses_scalar_df_composite():
+    """An f64 block operator forced to 'sell_f64' gets the scalar
+    double-f32 SELL view (the Serena-class f64 outer SpMV path)."""
+    from amgcl_tpu.ops.formats import from_scipy_auto
+    from amgcl_tpu.ops.pallas_sell2 import Sell2F64Matrix
+
+    A, _, _ = fem_elasticity_3d(1500)
+    M = _rcm_block(sp.csr_matrix(A), 3)
+    S = from_scipy_auto(M, block=3, dtype=jnp.float64, format="sell_f64")
+    assert isinstance(S, Sell2F64Matrix)
+    x = np.random.default_rng(11).standard_normal(M.shape[0])
+    y = S._spmv_xla(jnp.asarray(x))
+    assert np.allclose(np.asarray(y), M @ x, atol=1e-9)
+
+
 def test_auto_select_prefers_bsell_when_forced():
     """from_scipy_auto picks BlockSellMatrix for unstructured block
     matrices when format='bsell' (TPU-gated in auto mode)."""
