@@ -83,6 +83,11 @@ def main(argv=None):
                     help="distributed preconditioner class")
     ap.add_argument("--pmask", help="pressure-mask file (0/1 per dof) for "
                     "--dist-precond schur")
+    ap.add_argument("--dist-setup", action="store_true",
+                    help="run the AMG *setup* sharded over the device "
+                    "mesh too (distributed PMIS + distributed Galerkin "
+                    "products; no participant assembles the global "
+                    "matrix — the mpi::amg + mpi/coarsening/pmis role)")
     ap.add_argument("--partition", choices=["slab", "bfs", "bfs-kl"],
                     default="slab",
                     help="distributed row partition: contiguous slabs "
@@ -164,7 +169,44 @@ def main(argv=None):
         rhs = np.asarray(rhs)[perm]
         part_perm = perm
 
-    if args.shards:
+    if args.shards and args.dist_setup:
+        import collections
+        import scipy.sparse as _spa
+
+        from .parallel.dist_setup import ShardedGeneralAMG
+
+        from .precond.amg import AMGParams as _AMGParams
+
+        _Info = collections.namedtuple("Info", "iters error")
+        sol = dict(config.get("solver", {}))
+        pprm_ds = config.get("precond", {})
+        amg_kw = {
+            k: pprm_ds[k] for k in ("coarse_enough", "max_levels",
+                                    "npre", "npost", "ncycle")
+            if k in pprm_ds
+        }
+        with prof.scope("setup (sharded)"):
+            H = ShardedGeneralAMG.from_global(
+                _spa.csr_matrix(A), args.shards,
+                params=_AMGParams(**amg_kw) if amg_kw else None,
+                eps_strong=float(
+                    pprm_ds.get("coarsening", {}).get("eps_strong", 0.08)
+                ),
+            )
+            run_fn = H.make_solver(
+                tol=float(sol.get("tol", 1e-8)),
+                maxiter=int(sol.get("maxiter", 200)),
+            )
+
+        class _Sharded:
+            precond = None
+
+            def __call__(self, b):
+                x, iters, res = run_fn(np.asarray(b))
+                return x, _Info(iters, res)
+
+        S = _Sharded()
+    elif args.shards:
         from .parallel.dist_solver import DistSolver
         from .coarsening import make_coarsening
         from .relaxation import make_smoother

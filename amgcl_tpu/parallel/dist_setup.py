@@ -512,6 +512,9 @@ class ShardedGeneralAMG:
     n0: int                     # true global fine size
     nlocp0: int                 # padded fine rows per shard
     setup_stats: dict
+    # input-precision L0 ((arrs, meta)) for the outer Krylov A·p; None
+    # when the hierarchy dtype already equals the input dtype
+    A0_hi: tuple | None = None
 
     # -- construction ---------------------------------------------------
 
@@ -550,6 +553,7 @@ class ShardedGeneralAMG:
             jnp.asarray(offs), jnp.asarray(counts), n_true, mesh, axis,
             relaxation or rlx.SPAI0(), params or AMGParams(),
             eps_strong, relax_factor, seed, dtype, min_loc,
+            data_hi=jnp.asarray(data),   # input-precision L0 (outer op)
         )
 
     @staticmethod
@@ -565,11 +569,28 @@ class ShardedGeneralAMG:
 
     @staticmethod
     def _build(data, cols, offs, cnt, n_true, mesh, axis, relaxation,
-               prm, eps_strong, relax_factor, seed, dtype, min_loc):
+               prm, eps_strong, relax_factor, seed, dtype, min_loc,
+               data_hi=None):
         S = mesh.shape[axis]
         stats = {"retries": 0, "levels": []}
         sm = partial(jax.shard_map, mesh=mesh, check_vma=False)
         Pa, Pr = P(axis), P()        # sharded / replicated
+
+        # Input-precision level-0 operator for the outer Krylov loop: the
+        # f32 hierarchy is the preconditioner, but a CG whose A·p runs on
+        # the rounded f32 operator stalls its TRUE residual near the f32
+        # floor while the recurrence happily reports 1e-9.
+        A0_hi = None
+        if data_hi is not None and data_hi.dtype != data.dtype:
+            c_pad0 = jax.jit(
+                jax.vmap(jax.vmap(jax.vmap(
+                    lambda c: _pidx(c, offs, data.shape[2])
+                )))
+            )(cols)
+            A0_hi = (
+                (data_hi[:, :, None, None, :], c_pad0),
+                ("ell", S * data.shape[2], data.shape[2], 1),
+            )
 
         n0 = n_true
         dist_levels = []
@@ -740,6 +761,7 @@ class ShardedGeneralAMG:
             dist_levels=tuple(dist_levels), tail=tail,
             tail_idx=tail_idx, l0_idx=l0_idx, prm=prm, mesh=mesh,
             axis=axis, n0=n0, nlocp0=nlocp0, setup_stats=stats,
+            A0_hi=A0_hi,
         )
 
     # -- solve ----------------------------------------------------------
@@ -759,17 +781,33 @@ class ShardedGeneralAMG:
         S = self.mesh.shape[axis]
         dist_levels = self.dist_levels
         tail = self.tail
+        A0_hi = self.A0_hi
+        hi_arrs = A0_hi[0] if A0_hi is not None else None
+        hi_meta = A0_hi[1] if A0_hi is not None else None
 
-        def shard_solve(levels, tailv, tidx, b_loc):
+        def shard_solve(levels, hi, tailv, tidx, b_loc):
             b_loc = b_loc.reshape(-1)
-            if levels:
+            if hi is not None:
+                A0 = _mk_local(tuple(a[0] for a in hi), hi_meta, axis)
+                Aop = lambda x: dist_spmv(A0, x)
+            elif levels:
                 A0 = _mk_local(
                     tuple(a[0] for a in levels[0].A_arrs),
                     levels[0].A_meta, axis,
                 )
                 Aop = lambda x: dist_spmv(A0, x)
             else:
-                raise AssertionError("no sharded levels")
+                raise ValueError(
+                    "the whole matrix fits the replicated coarse tail "
+                    "(rows <= coarse_enough) — nothing to shard; lower "
+                    "params.coarse_enough or solve serially"
+                )
+            if not levels:
+                raise ValueError(
+                    "the whole matrix fits the replicated coarse tail "
+                    "(rows <= coarse_enough) — nothing to shard; lower "
+                    "params.coarse_enough or solve serially"
+                )
 
             dt = b_loc.dtype
 
@@ -819,9 +857,10 @@ class ShardedGeneralAMG:
         Pa, Pr = P(axis), P()
         lv_spec = jax.tree_util.tree_map(lambda _: Pa, dist_levels)
         tail_spec = jax.tree_util.tree_map(lambda _: Pr, tail)
+        hi_spec = jax.tree_util.tree_map(lambda _: Pa, hi_arrs)
         solve = jax.jit(jax.shard_map(
             shard_solve, mesh=self.mesh,
-            in_specs=(lv_spec, tail_spec, Pr, Pa),
+            in_specs=(lv_spec, hi_spec, tail_spec, Pr, Pa),
             out_specs=(Pa, Pa, Pa),
             check_vma=False,
         ))
@@ -833,7 +872,7 @@ class ShardedGeneralAMG:
             bp[l0_idx] = b
             bp = bp.reshape(S, nlocp)
             x_p, iters, res = solve(
-                dist_levels, tail, tail_idx, jnp.asarray(bp)
+                dist_levels, hi_arrs, tail, tail_idx, jnp.asarray(bp)
             )
             x = np.asarray(x_p).reshape(-1)[l0_idx]
 

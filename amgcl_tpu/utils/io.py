@@ -40,14 +40,18 @@ def mm_read(path):
 
 
 def mm_write(path, M, comment: str = ""):
-    """Write a matrix/vector in MatrixMarket format."""
+    """Write a matrix/vector in MatrixMarket format.
+
+    precision=17 (f64 round-trip exact): scipy's default 8 significant
+    digits silently destroys solution accuracy — a written/reread x can
+    lose two orders of magnitude of residual through truncation alone."""
     if sp.issparse(M):
-        sio.mmwrite(path, M, comment=comment)
+        sio.mmwrite(path, M, comment=comment, precision=17)
     else:
         arr = np.asarray(M)
         if arr.ndim == 1:
             arr = arr[:, None]
-        sio.mmwrite(path, arr, comment=comment)
+        sio.mmwrite(path, arr, comment=comment, precision=17)
 
 
 # ----------------------------------------------------------------------

@@ -263,6 +263,34 @@ def test_cli_partition_flag(tmp_path):
     assert res < 1e-7, res
 
 
+def test_cli_dist_setup_flag(tmp_path):
+    """--dist-setup runs the fully sharded setup+solve from the CLI
+    (distributed PMIS + distributed Galerkin; mpi::amg role)."""
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    from amgcl_tpu.models.poisson import poisson2d
+    from amgcl_tpu.utils import io as aio
+
+    A, rhs = poisson2d(24)
+    aio.mm_write(str(tmp_path / "A.mtx"), A)
+    out = tmp_path / "x.mtx"
+    env = dict(__import__("os").environ,
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [_sys.executable, "-m", "amgcl_tpu.cli", "-A", str(tmp_path / "A.mtx"),
+         "--shards", "4", "--dist-setup", "-o", str(out),
+         "solver.tol=1e-8", "precond.coarse_enough=64"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    x = np.asarray(aio.mm_read(str(out))).ravel()
+    res = np.linalg.norm(rhs - A @ x) / np.linalg.norm(rhs)
+    assert res < 1e-7, res
+
+
 def test_bandwidth_report():
     """Roofline observability: the report runs and contains GB/s."""
     from amgcl_tpu import make_solver
