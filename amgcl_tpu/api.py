@@ -227,12 +227,25 @@ class Solver:
         params = dict(self.solver_params)
 
         A32_dev = getattr(self, "A32_dev", None)
+        try:
+            on_tpu = jax.default_backend() != "cpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from .ops.pallas_spmv import prepad_pallas
+        else:
+            prepad_pallas = lambda o: o
 
         if isinstance(self.precond, (AMG, GridAMG, DeviceGeneralAMG)):
             prm = self.precond.prm
 
             @partial(jax.jit, static_argnames=())
             def run(A_dev, A32, levels, rhs, x0):
+                # hoist the Pallas data pads out of the Krylov loop
+                # (XLA has no while-loop LICM; see prepad_pallas)
+                A_dev = prepad_pallas(A_dev)
+                A32 = prepad_pallas(A32)
+                levels = prepad_pallas(levels)
                 P = lambda r: amg_apply(levels, r, prm)
                 extra = {} if A32 is None else {"A32": A32}
                 return solver_fn(A_dev, P, rhs, x0, **extra, **params)

@@ -66,22 +66,58 @@ def _kernel(offsets, L, T, ntiles, data_ref, xp_ref, y_ref,
     y_ref[...] = acc
 
 
+def _default_tile(D: int, itemsize: int) -> int:
+    """Row-tile choice: bigger tiles amortize the halo re-reads
+    (0.74 -> 0.44 ms at 150³/7 diagonals going 8K -> 128K rows), bounded
+    so the per-tile data block stays near 4MB of the 16MB scoped VMEM
+    (window + output + pipelining fit alongside it)."""
+    budget = 4 << 20
+    tile = (budget // (D * itemsize)) // 128 * 128
+    return int(max(8192, min(tile, 131072)))
+
+
+def prepad_pallas(obj):
+    """Hoist the kernel's per-call data pad out of solver loops.
+
+    XLA does not move loop-invariant ops out of while-loop bodies, so
+    the jnp.pad of A.data inside spmv_dia_pallas re-copies the whole
+    operator every iteration (~0.1-0.2 ms at 23M nnz).  Mapping this
+    over the operator/levels pytree at the TOP of the jitted solve pads
+    each square DiaMatrix's data to its tile multiple once per call;
+    spmv_dia_pallas skips its pad when the data is already wide
+    enough."""
+    import dataclasses as _dc
+
+    def fix(A):
+        if not isinstance(A, DiaMatrix):
+            return A
+        n, m = A.shape
+        if n != m or not A.offsets:
+            return A
+        tile = _default_tile(len(A.offsets), A.data.dtype.itemsize)
+        n_pad = ((n + tile - 1) // tile) * tile
+        if A.data.shape[1] >= n_pad:
+            return A
+        return _dc.replace(
+            A,
+            data=jnp.pad(A.data, ((0, 0), (0, n_pad - A.data.shape[1]))),
+        )
+
+    return jax.tree_util.tree_map(
+        fix, obj, is_leaf=lambda x: isinstance(x, DiaMatrix)
+    )
+
+
 def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int | None = None,
                     interpret: bool = False) -> jax.Array:
     """y = A @ x with the Pallas streaming kernel (square DIA matrices).
 
-    tile=None auto-sizes the row tile: bigger tiles amortize the halo
-    re-reads (0.74 -> 0.44 ms at 150³/7 diagonals going 8K -> 128K rows),
-    bounded so the per-tile data block stays within a VMEM budget."""
+    tile=None auto-sizes the row tile (see _default_tile)."""
     n, m = A.shape
     if n != m:
         raise ValueError("pallas DIA spmv supports square operators")
     if tile is None:
-        # Scoped VMEM is 16MB total; keep the per-tile data block near
-        # 4MB so the window + output + pipelining fit alongside it.
-        budget = 4 << 20
-        tile = (budget // (len(A.offsets) * A.data.dtype.itemsize)) // 128 * 128
-        tile = int(max(8192, min(tile, 131072)))
+        tile = _default_tile(len(A.offsets), A.data.dtype.itemsize)
     # Halo paddings rounded to the 128-lane tiling so every DMA window
     # starts and ends lane-aligned (Mosaic requires aligned HBM slices).
     L = -(-max(0, -min(A.offsets)) // 128) * 128
@@ -92,9 +128,11 @@ def spmv_dia_pallas(A: DiaMatrix, x: jax.Array, *, tile: int | None = None,
     n_pad = ((n + tile - 1) // tile) * tile
     # pad x with the halo plus tile alignment; 2-D shapes for TPU tiling
     xp = jnp.pad(xc, (L, R + (n_pad - n))).reshape(1, -1)
-    data = (
-        jnp.pad(A.data, ((0, 0), (0, n_pad - n))) if n_pad != n else A.data
-    )
+    if A.data.shape[1] >= n_pad:
+        # pre-padded at the top of the solve (prepad_pallas)
+        data = jax.lax.slice(A.data, (0, 0), (len(A.offsets), n_pad))
+    else:
+        data = jnp.pad(A.data, ((0, 0), (0, n_pad - n)))
     ntiles = n_pad // tile
     win = tile + L + R
 

@@ -49,10 +49,15 @@ def _spmv_dia(A: DiaMatrix, x: jax.Array) -> jax.Array:
     L = max(0, -min(A.offsets))
     R = max(0, (n - 1) + max(A.offsets) - (m - 1))
     xp = jnp.pad(xc, (L, R))
+    # data may be pre-padded wider than n (prepad_pallas hoisting)
+    data = (
+        A.data if A.data.shape[1] == n
+        else jax.lax.slice(A.data, (0, 0), (A.data.shape[0], n))
+    )
     y = jnp.zeros(n, dtype=A.data.dtype)
     for k, d in enumerate(A.offsets):
         seg = jax.lax.slice(xp, (L + d,), (L + d + n,))
-        y = y + A.data[k] * seg
+        y = y + data[k] * seg
     return y.astype(out_dtype)
 
 

@@ -37,6 +37,39 @@ def test_pallas_dia_wide_offsets():
     )
 
 
+def test_prepad_hoisting_preserves_semantics():
+    """prepad_pallas widens square DiaMatrix data to the kernel tile
+    multiple; both the XLA fallback spmv and the Pallas kernel must give
+    identical results on the widened operator, and rectangular operators
+    stay untouched."""
+    from amgcl_tpu.ops.pallas_spmv import prepad_pallas
+
+    A, _ = poisson3d(10)
+    D = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    Dp = prepad_pallas(D)
+    assert Dp.data.shape[1] >= D.data.shape[1]
+    assert Dp.shape == D.shape
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal(A.shape[0]), jnp.float32
+    )
+    np.testing.assert_allclose(
+        np.asarray(spmv(Dp, x)), np.asarray(spmv(D, x)),
+        rtol=1e-6, atol=1e-6,
+    )
+    y = spmv_dia_pallas(Dp, x, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(spmv(D, x)), rtol=1e-6, atol=1e-6
+    )
+    # rectangular DIA (a grid-hierarchy P) is left alone
+    rect = DiaMatrix(
+        data=D.data[:, : A.shape[0] // 2], offsets=D.offsets,
+        shape=(A.shape[0] // 2, A.shape[0]), nnz=D.nnz,
+    )
+    assert prepad_pallas(rect) is rect
+    # idempotent
+    assert prepad_pallas(Dp).data.shape == Dp.data.shape
+
+
 def test_prehalo_kernel_interpret():
     """The pre-haloed distributed kernel matches the XLA shift path
     (interpret mode, asymmetric offsets, H > 0)."""
