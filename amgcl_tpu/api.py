@@ -167,12 +167,16 @@ class Solver:
                         eps_strong=coarsening.eps_strong,
                         relax_factor=coarsening.relax,
                     )
-                elif block == 1 and (
-                    coarsening is None
-                    or isinstance(coarsening, SmoothedAggregation)
+                elif coarsening is None or isinstance(
+                    coarsening, SmoothedAggregation
                 ):
                     # general (unstructured) on-device setup: PMIS
-                    # aggregation + sort-based Galerkin RAP
+                    # aggregation + sort-based Galerkin RAP; block
+                    # matrices aggregate block-aligned on the condensed
+                    # Frobenius graph.  The finest-level operator for
+                    # the solve phase reuses the auto-selected fast
+                    # format (BlockDia/BlockSell) instead of the setup's
+                    # scalar ELL expansion.
                     eps = (
                         coarsening.eps_strong if coarsening is not None
                         else 0.08
@@ -180,6 +184,12 @@ class Solver:
                     rfac = (
                         coarsening.relax if coarsening is not None else 1.0
                     )
+                    lvl0 = None
+                    if block > 1:
+                        lvl0 = from_scipy_auto(
+                            A, block=block, dtype=precond_dtype,
+                            format=matrix_format,
+                        )
                     self.precond = DeviceGeneralAMG(
                         A,
                         relaxation=relaxation,
@@ -187,10 +197,12 @@ class Solver:
                         dtype=precond_dtype,
                         eps_strong=eps,
                         relax_factor=rfac,
+                        block=block,
+                        level0_A=lvl0,
                     )
                 else:
                     raise ValueError(
-                        "device_setup supports GridAggregation or scalar "
+                        "device_setup supports GridAggregation or "
                         "smoothed aggregation"
                     )
             elif precond == "amg":

@@ -322,3 +322,92 @@ def spgemm_ptb_device(P_data, P_cols, B_data, B_cols, nc, kc_bound):
     return _terms_to_ell(
         a.reshape(-1), b.reshape(-1), W.reshape(-1), nc, kc_bound
     )
+
+
+# ----------------------------------------------------------------------
+# block-valued systems: scalar expansion, condensation, block-aligned
+# aggregation (the device counterpart of the reference's block-value
+# setup — aggregation over math::norm of the b×b blocks,
+# coarsening/smoothed_aggregation.hpp + value_type/static_matrix.hpp —
+# rebuilt on the same sort/scan machinery as the scalar path)
+# ----------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("b",))
+def expand_block_ell(data, cols, b):
+    """Scalar planar-ELL view of a block planar-ELL operator.
+
+    data (K, b, b, nb) / cols (K, nb) → scalar (K·b, nb·b) planes where
+    scalar row I·b+r holds entry (k·b+c) = (A_{I,cols[k,I]})[r,c] at
+    scalar column cols[k,I]·b+c.  Pure transpose/reshape/broadcast — no
+    gathers."""
+    K, _, _, nb = data.shape
+    d = jnp.transpose(data, (0, 2, 3, 1)).reshape(K * b, nb * b)
+    c = (
+        cols[:, None, :, None] * b
+        + jnp.arange(b, dtype=cols.dtype)[None, :, None, None]
+    )
+    c = jnp.broadcast_to(c, (K, b, nb, b)).reshape(K * b, nb * b)
+    return d, c
+
+
+@partial(jax.jit, static_argnames=("b", "k_bound"))
+def condense_scalar_ell(data, cols, b, k_bound):
+    """Block-connectivity magnitude graph from scalar planar ELL:
+    C[I, J] = ||A_{IJ}||_F over the b×b block (I = i//b, J = j//b).
+
+    One sort-compress over the (block-row, block-col, value²) terms —
+    the same `_terms_to_ell` machinery as the RAP; returns
+    (C_data, C_cols, kmax, nnz) with kmax for overflow retry."""
+    K, n = data.shape
+    nb = n // b
+    rows = jnp.broadcast_to(
+        (jnp.arange(n, dtype=jnp.int32) // b)[None, :], (K, n)
+    )
+    Cd, Cc, kmax, nnz = _terms_to_ell(
+        rows.reshape(-1),
+        (cols // b).reshape(-1),
+        (data * data).reshape(-1),
+        nb,
+        k_bound,
+    )
+    return jnp.sqrt(Cd), Cc, kmax, nnz
+
+
+@partial(jax.jit, static_argnames=("b",))
+def expand_block_ids(ids_b, b):
+    """Scalar aggregate ids from block aggregate ids: scalar unknown
+    I·b+r joins coarse scalar column ids_b[I]·b+r (component-preserving
+    block-identity tentative); negative (removed) ids pass through."""
+    r = jnp.arange(b, dtype=ids_b.dtype)
+    e = ids_b[:, None] * b + r[None, :]
+    e = jnp.where(ids_b[:, None] >= 0, e, ids_b[:, None])
+    return e.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("b",))
+def block_strong_scalar(data, cols, C_cols, strong_b, b):
+    """Scalar-entry strength mask from the block strength pattern: a
+    scalar off-diagonal entry is kept in the filtered matrix iff its
+    enclosing block (I, J) is a strong block connection or lies on the
+    block diagonal (J == I — intra-block couplings are never lumped).
+    Zero/padding entries are never strong.
+
+    The condensed pattern is expanded to scalar rows by a contiguous
+    broadcast (no gather); each of the Ks scalar slots then scans the
+    Kc condensed slots for its block column (`lax.map` over slots keeps
+    the working set at (Kc, n))."""
+    Ks, n = cols.shape
+    rows = jnp.arange(n, dtype=jnp.int32)
+    I = rows // b
+    Cc_exp = jnp.repeat(C_cols, b, axis=1)               # (Kc, n)
+    Sb_exp = jnp.repeat(strong_b, b, axis=1)
+    Jb = cols // b                                       # (Ks, n)
+
+    def one(jrow):
+        return jnp.any((Cc_exp == jrow[None, :]) & Sb_exp, axis=0)
+
+    strong = jax.lax.map(one, Jb)
+    intra = Jb == I[None, :]
+    off = cols != rows[None, :]
+    return (strong | intra) & off & (data != 0)

@@ -114,7 +114,7 @@ def _bsell_kernel(R, b, K8, nw, S_pad,
             hs = jax.lax.shift_right_logical(e, jnp.int32(7))
             gaccs = [jnp.zeros((8, 128), dt) for _ in range(b)]
             for w in range(nw[band]):
-                t = bases_ref[r, off[band] + w]
+                t = bases_ref[0, r, off[band] + w]
                 for c in range(b):
                     row = x_ref[pl.ds(t + jnp.int32(c * S_pad), 1), :]
                     Tv = jnp.broadcast_to(row, (8, 128))
@@ -155,6 +155,14 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
         grid = Gp // R
+        # Mosaic requires SMEM block sublane dims divisible by 8 (or
+        # equal to the array dim): carry the window table as
+        # (grid, Rp, L) with per-program rows padded to a sublane
+        # multiple (see pallas_sell2.sell2_spmv_pallas).
+        Rp = -(-R // 8) * 8
+        b3 = bases.reshape(grid, R, L)
+        if Rp != R:
+            b3 = jnp.pad(b3, ((0, 0), (0, Rp - R), (0, 0)))
         y = pl.pallas_call(
             partial(_bsell_kernel, R, b, K8, nw, S_pad),
             grid=(grid,),
@@ -164,7 +172,8 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
                 ),
                 pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec(
-                    (R, L), lambda g: (g, jnp.int32(0)),
+                    (1, Rp, L),
+                    lambda g: (g, jnp.int32(0), jnp.int32(0)),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
                 pl.BlockSpec(
@@ -177,7 +186,7 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
             ),
             out_shape=jax.ShapeDtypeStruct((b, Gp * 128), dt),
             interpret=interpret,
-        )(data, enc, bases, x2)
+        )(data, enc, b3, x2)
         outs.append(y[:, : Gc * 128])
     out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     # (b, nb_padless) component-major -> scalar interleaved

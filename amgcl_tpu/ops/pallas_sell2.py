@@ -216,7 +216,7 @@ def _sell2_kernel(R, SH, nw, load8,
             hs = jax.lax.shift_right_logical(e, jnp.int32(7))
             gacc = jnp.zeros((8, 128), dt)
             for w in range(nw[b]):
-                t = bases_ref[r, off[b] + w]
+                t = bases_ref[0, r, off[b] + w]
                 if SH == 1:
                     if load8:
                         row = x_ref[pl.ds(t, 8), :][0:1]
@@ -261,6 +261,13 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
         grid = Gp // R
+        # Mosaic requires SMEM block sublane dims divisible by 8: carry
+        # the window table as (grid, Rp, L) with the per-program rows
+        # padded up to a sublane multiple (the pad is KBs, fused by XLA).
+        Rp = -(-R // 8) * 8
+        b3 = bases.reshape(grid, R, L)
+        if Rp != R:
+            b3 = jnp.pad(b3, ((0, 0), (0, Rp - R), (0, 0)))
         y = pl.pallas_call(
             partial(_sell2_kernel, R, SH, nw, load8),
             grid=(grid,),
@@ -268,7 +275,8 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
                 pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec(
-                    (R, L), lambda g: (g, jnp.int32(0)),
+                    (1, Rp, L),
+                    lambda g: (g, jnp.int32(0), jnp.int32(0)),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
                 pl.BlockSpec(
@@ -279,7 +287,7 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
             out_specs=pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
             out_shape=jax.ShapeDtypeStruct((1, Gp * 128), dt),
             interpret=interpret,
-        )(data, enc, bases, x2)
+        )(data, enc, b3, x2)
         outs.append(y[0, : Gc * 128])
     out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     return out[:n].astype(x.dtype)
@@ -340,7 +348,7 @@ def _sell2_df_kernel(R, nw, S_pad,
             gh = jnp.zeros((8, 128), jnp.float32)
             gl = jnp.zeros((8, 128), jnp.float32)
             for w in range(nw[b]):
-                t = bases_ref[r, off[b] + w]
+                t = bases_ref[0, r, off[b] + w]
                 rowh = x_ref[pl.ds(t, 1), :]
                 rowl = x_ref[pl.ds(t + jnp.int32(S_pad), 1), :]
                 g1 = _lane_gather(jnp.broadcast_to(rowh, (8, 128)), lo)
@@ -382,6 +390,11 @@ def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
         grid = Gp // R
+        # see sell2_spmv_pallas: SMEM sublane dims must be multiples of 8
+        Rp = -(-R // 8) * 8
+        b3 = bases.reshape(grid, R, L)
+        if Rp != R:
+            b3 = jnp.pad(b3, ((0, 0), (0, Rp - R), (0, 0)))
         yh, yl = pl.pallas_call(
             partial(_sell2_df_kernel, R, nw, S_pad),
             grid=(grid,),
@@ -390,7 +403,8 @@ def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
                 pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec(
-                    (R, L), lambda g: (g, jnp.int32(0)),
+                    (1, Rp, L),
+                    lambda g: (g, jnp.int32(0), jnp.int32(0)),
                     memory_space=pltpu.MemorySpace.SMEM,
                 ),
                 pl.BlockSpec(
@@ -407,7 +421,7 @@ def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
                 jax.ShapeDtypeStruct((1, Gp * 128), jnp.float32),
             ],
             interpret=interpret,
-        )(dh, dl, enc, bases, x2)
+        )(dh, dl, enc, b3, x2)
         outs.append(
             yh[0, : Gc * 128].astype(x.dtype)
             + yl[0, : Gc * 128].astype(x.dtype)

@@ -26,6 +26,8 @@ from .. import relaxation as rlx
 from ..coarsening.device_setup import (
     pmis_ids_device, smoothed_prolongation_ell,
     spgemm_ap_device, spgemm_ptb_device, _terms_to_ell, _ell_diagonal,
+    expand_block_ell, condense_scalar_ell, expand_block_ids,
+    block_strong_scalar,
 )
 
 
@@ -191,6 +193,42 @@ def _wrap(data, cols, shape, nnz):
     )
 
 
+def _condense_chunked(data, cols, b, stats):
+    """Condensed block graph C[I,J] = ||A_IJ||_F from scalar ELL planes,
+    row-chunked like the RAP so the sort-stage peak memory stays
+    bounded.  Chunks are block-aligned (multiples of b scalar rows), so
+    every block row lives in exactly one chunk and the per-chunk ELL
+    pieces concatenate without a re-merge."""
+    K, n = data.shape
+    nb = n // b
+    Kb = _pow2_8(K)
+    d, c = _pad_ell_width(data, cols, Kb)
+    CH = max(1024, _TERM_CAP // Kb)              # scalar rows per chunk
+    CH = 1 << (CH.bit_length() - 1)
+    CH = max(b, (CH // b) * b)
+    if CH >= n:
+        CH = _pow2_8(-(-n // b)) * b
+    nch = -(-n // CH)
+    dp, cp = _pad_ell_rows(d, c, nch * CH)
+    kc = _pow2_8(K + 8)
+    while True:
+        parts = []
+        kmax_all = 0
+        for sl in _chunks(nch * CH, nch):
+            Cd_, Cc_, kmax, _ = condense_scalar_ell(
+                dp[:, sl], cp[:, sl], b, kc
+            )
+            parts.append((Cd_, Cc_))
+            kmax_all = max(kmax_all, int(kmax))
+        if kmax_all <= kc:
+            break
+        stats["retries"] += 1
+        kc = _pow2_8(kmax_all)
+    Cd = jnp.concatenate([p[0] for p in parts], axis=1)[:, :nb]
+    Cc = jnp.concatenate([p[1] for p in parts], axis=1)[:, :nb]
+    return Cd, Cc
+
+
 def build_ell_hierarchy(
     A: SparseMatrix,
     *,
@@ -201,12 +239,22 @@ def build_ell_hierarchy(
     seed: int = 42,
     dtype=jnp.float32,
     setup_stats: dict | None = None,
+    block: int = 1,
 ):
     """Build the hierarchy on device from a planar-ELL fine matrix.
 
     Width bounds for the sparse products start at a heuristic and retry
     with the exact width on overflow (the overflow is detected from the
     returned kmax scalar, and the retried program is the only recompile).
+
+    ``block > 1`` switches aggregation to the block-aligned variant (the
+    reference's block-value setup, coarsening/smoothed_aggregation.hpp
+    with math::norm over b×b blocks): strength and PMIS run on the
+    condensed block-Frobenius graph, the tentative prolongation is the
+    component-preserving block identity, and the filter keeps whole
+    strong blocks — so every level stays block-aligned (coarse unknown
+    = aggregate·b + component) while the RAP itself runs on the scalar
+    expansion, unchanged.
     """
     import time as _t
 
@@ -238,10 +286,22 @@ def build_ell_hierarchy(
         omega = relax_factor * 2.0 / 3.0
 
         t0 = _t.perf_counter()
-        ids, count, strong = pmis_ids_device(
-            data, cols, jnp.asarray(eps * eps, data.dtype), seed
-        )
-        nc = int(count)                      # scalar fetch
+        if block > 1:
+            # block-aligned aggregation: strength + PMIS run on the
+            # condensed block-Frobenius graph; ids/strength expand back
+            # to the scalar planes (see _condense_chunked below)
+            Cd, Cc = _condense_chunked(data, cols, block, stats)
+            ids_b, count_b, strong_b = pmis_ids_device(
+                Cd, Cc, jnp.asarray(eps * eps, Cd.dtype), seed
+            )
+            nc = int(count_b) * block        # scalar fetch
+            ids = expand_block_ids(ids_b, block)
+            strong = block_strong_scalar(data, cols, Cc, strong_b, block)
+        else:
+            ids, count, strong = pmis_ids_device(
+                data, cols, jnp.asarray(eps * eps, data.dtype), seed
+            )
+            nc = int(count)                  # scalar fetch
         t0 = _mark("pmis", t0)
         if nc == 0:
             raise EmptyLevelError("no aggregates could be formed")
@@ -373,14 +433,28 @@ class DeviceGeneralAMG:
         eps_strong: float = 0.08,
         relax_factor: float = 1.0,
         seed: int = 42,
+        block: int = 1,
+        level0_A=None,
     ):
+        """``block > 1`` (or a block-valued ``A``) builds the hierarchy
+        with block-aligned aggregation (strength/PMIS on the condensed
+        block-Frobenius graph — the reference's block-value setup role,
+        value_type/static_matrix.hpp + coarsening/smoothed_aggregation.hpp).
+        ``level0_A`` optionally substitutes a faster device format
+        (BlockDia/BlockSell) for the finest-level operator; the scalar
+        ELL expansion is used for the setup math only."""
         if not isinstance(A, SparseMatrix):
             from ..ops.formats import SparseMatrix as SM
-            A = SM.from_scipy(A, dtype=dtype)
-        if A.block != 1:
-            raise ValueError(
-                "device general setup is scalar-only; expand block "
-                "matrices or use the host setup"
+            A = SM.from_scipy(A, block=block, dtype=dtype)
+        b = A.block
+        if b > 1:
+            if level0_A is None:
+                level0_A = A.astype(dtype)
+            Ab = A.astype(dtype)
+            d_sc, c_sc = expand_block_ell(Ab.data, Ab.cols, b)
+            A = SparseMatrix(
+                data=d_sc[:, None, None, :], cols=c_sc,
+                shape=Ab.shape, block=1, nnz=Ab.nnz,
             )
         self.dtype = dtype
         self.relaxation = relaxation or rlx.SPAI0()
@@ -388,8 +462,12 @@ class DeviceGeneralAMG:
         self.levels, self.prm = build_ell_hierarchy(
             A, params=params, relaxation=self.relaxation,
             eps_strong=eps_strong, relax_factor=relax_factor, seed=seed,
-            dtype=dtype, setup_stats=self.setup_stats,
+            dtype=dtype, setup_stats=self.setup_stats, block=b,
         )
+        if level0_A is not None and self.levels[0].P is not None:
+            self.levels = (
+                dataclasses.replace(self.levels[0], A=level0_A),
+            ) + self.levels[1:]
 
     def apply(self, r):
         from .amg import amg_apply
