@@ -102,17 +102,19 @@ def _bsell_kernel(R, b, K8, nw, S_pad,
     c*S_pad + j//128, lane j%128."""
     off = np.concatenate([[0], np.cumsum(nw)]).astype(int)
     B = len(nw)
+    # bf16 value planes compute in f32 (see pallas_sell2._sell2_kernel)
     dt = data_ref.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
     for r in range(R):
         lsl = slice(r * 128, (r + 1) * 128)
-        accs = [jnp.zeros((1, 128), dt) for _ in range(b)]
+        accs = [jnp.zeros((1, 128), cdt) for _ in range(b)]
         for band in range(B):
             if nw[band] == 0:
                 continue
             e = enc_ref[band * 8 : band * 8 + 8, lsl]
             lo = e & jnp.int32(127)
             hs = jax.lax.shift_right_logical(e, jnp.int32(7))
-            gaccs = [jnp.zeros((8, 128), dt) for _ in range(b)]
+            gaccs = [jnp.zeros((8, 128), cdt) for _ in range(b)]
             for w in range(nw[band]):
                 t = bases_ref[0, r, off[band] + w]
                 for c in range(b):
@@ -132,6 +134,8 @@ def _bsell_kernel(R, b, K8, nw, S_pad,
                         (rr * b + c) * K8 + band * 8 + 8,
                         lsl,
                     ]
+                    if dt == jnp.bfloat16:
+                        d = d.astype(cdt)
                     accs[rr] = accs[rr] + jnp.sum(
                         d * gaccs[c], axis=0, keepdims=True
                     )
@@ -146,7 +150,8 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
     n, m, b, S_pad, R = (meta[k] for k in ("n", "m", "b", "S_pad", "R"))
     mb = meta["mb"]
     dt = class_arrays[0][0].dtype
-    xc = x.astype(dt).reshape(mb, b).T                     # (b, mb)
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    xc = x.astype(cdt).reshape(mb, b).T                    # (b, mb)
     x2 = jnp.pad(xc, ((0, 0), (0, S_pad * 128 - mb)))
     x2 = x2.reshape(b * S_pad, 128)
 
@@ -184,7 +189,7 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
             out_specs=pl.BlockSpec(
                 (b, R * 128), lambda g: (jnp.int32(0), g)
             ),
-            out_shape=jax.ShapeDtypeStruct((b, Gp * 128), dt),
+            out_shape=jax.ShapeDtypeStruct((b, Gp * 128), cdt),
             interpret=interpret,
         )(data, enc, b3, x2)
         outs.append(y[:, : Gc * 128])
@@ -284,7 +289,8 @@ class BlockSellMatrix:
         bit-identical accumulation order to the kernel)."""
         m = self._m
         b, mb = m["b"], m["mb"]
-        xc = x.astype(self.dtype).reshape(mb, b).T         # (b, mb)
+        cdt = (jnp.float32 if self.dtype == jnp.bfloat16 else self.dtype)
+        xc = x.astype(cdt).reshape(mb, b).T                # (b, mb)
         xp = jnp.pad(xc, ((0, 0), (0, m["S_pad"] * 128 - mb)))
         outs = []
         for spec, (data, enc, bases) in zip(m["classes"], self.arrays):
@@ -301,10 +307,11 @@ class BlockSellMatrix:
             cols = t * 128 + lo                            # block columns
             ys = []
             for rr in range(b):
-                acc = jnp.zeros((Gp * 128,), self.dtype)
+                acc = jnp.zeros((Gp * 128,), cdt)
                 for c in range(b):
                     d = data[(rr * b + c) * K8 : (rr * b + c + 1) * K8]
-                    acc = acc + jnp.sum(d * xp[c][cols], axis=0)
+                    acc = acc + jnp.sum(d.astype(cdt) * xp[c][cols],
+                                        axis=0)
                 ys.append(acc[: Gc * 128])
             outs.append(jnp.stack(ys))                     # (b, Gc*128)
         out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

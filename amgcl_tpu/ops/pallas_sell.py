@@ -141,9 +141,15 @@ def _sell_kernel(B, NW, data_ref, enc_ref, bases_ref, x_ref, y_ref):
     ~5x the work); each window = (8,128) table whose 8 subrows are
     broadcast + lane-gathered, select-accumulated by the packed (w, hi)
     ids."""
-    acc = jnp.zeros((1, 128), data_ref.dtype)
+    # bf16 data streams at half width but gathers/accumulates in f32
+    # (see pallas_sell2._sell2_kernel)
+    cdt = (jnp.float32 if data_ref.dtype == jnp.bfloat16
+           else data_ref.dtype)
+    acc = jnp.zeros((1, 128), cdt)
     for b in range(B):
         d = data_ref[b * 8 : (b + 1) * 8, :]          # (8, 128)
+        if d.dtype == jnp.bfloat16:
+            d = d.astype(cdt)
         e = enc_ref[b * 8 : (b + 1) * 8, :]
         # hs = w*8 + hi: one compare per (window, subrow) instead of two
         hs = jax.lax.shift_right_logical(e, jnp.int32(7))
@@ -178,7 +184,8 @@ def sell_spmv_pallas(packed, x: jax.Array, data: jax.Array,
     K8, B, G, NW, S_pad = (packed[k] for k in ("K8", "B", "G", "NW",
                                                "S_pad"))
     dt = data.dtype
-    xc = x.astype(dt)
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    xc = x.astype(cdt)
     x2 = jnp.pad(xc, (0, S_pad * 128 - m)).reshape(S_pad, 128)
 
     _i0 = lambda g: (jnp.int32(0), g)
@@ -198,7 +205,7 @@ def sell_spmv_pallas(packed, x: jax.Array, data: jax.Array,
             ),
             ],
         out_specs=pl.BlockSpec((1, 128), _i0),
-        out_shape=jax.ShapeDtypeStruct((1, G * 128), dt),
+        out_shape=jax.ShapeDtypeStruct((1, G * 128), cdt),
         interpret=interpret,
     )(data, enc, bases, x2)
     return y[0, :n].astype(x.dtype)
@@ -292,9 +299,10 @@ class SellMatrix:
         g_idx = (jnp.arange(n_pad, dtype=jnp.int32) // 128)[None, :]
         base = self.bases[g_idx, b_idx, w]                  # (K8, n_pad)
         cols = base * 128 + hi * 128 + lo
-        xc = x.astype(self.dtype)
+        cdt = (jnp.float32 if self.dtype == jnp.bfloat16 else self.dtype)
+        xc = x.astype(cdt)
         xp = jnp.pad(xc, (0, m["S_pad"] * 128 - m["m"]))
-        y = jnp.sum(self.data * xp[cols], axis=0)
+        y = jnp.sum(self.data.astype(cdt) * xp[cols], axis=0)
         return y[:n].astype(x.dtype)
 
     def to_scipy(self) -> sp.csr_matrix:

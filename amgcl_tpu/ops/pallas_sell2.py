@@ -203,18 +203,25 @@ def _sell2_kernel(R, SH, nw, load8,
     """One program = R row groups of one class; everything static."""
     off = np.concatenate([[0], np.cumsum(nw)]).astype(int)
     B = len(nw)
+    # bf16 data streams at half width but gathers/accumulates in f32:
+    # Mosaic packs bf16 rows two-per-sublane, so dynamically-indexed
+    # (1, 128) x-window loads would need provably-aligned rows — and f32
+    # accumulation is numerically stronger anyway.
     dt = data_ref.dtype
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
     for r in range(R):
         lsl = slice(r * 128, (r + 1) * 128)
-        acc = jnp.zeros((1, 128), dt)
+        acc = jnp.zeros((1, 128), cdt)
         for b in range(B):
             if nw[b] == 0:
                 continue
             d = data_ref[b * 8 : b * 8 + 8, lsl]
+            if dt == jnp.bfloat16:
+                d = d.astype(cdt)
             e = enc_ref[b * 8 : b * 8 + 8, lsl]
             lo = e & jnp.int32(127)
             hs = jax.lax.shift_right_logical(e, jnp.int32(7))
-            gacc = jnp.zeros((8, 128), dt)
+            gacc = jnp.zeros((8, 128), cdt)
             for w in range(nw[b]):
                 t = bases_ref[0, r, off[b] + w]
                 if SH == 1:
@@ -253,7 +260,8 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
     n, m, S_pad, W, R = (meta[k] for k in ("n", "m", "S_pad", "W", "R"))
     SH = W // 128
     dt = class_arrays[0][0].dtype
-    xc = x.astype(dt)
+    cdt = jnp.float32 if dt == jnp.bfloat16 else dt
+    xc = x.astype(cdt)
     x2 = jnp.pad(xc, (0, S_pad * 128 - m)).reshape(S_pad, 128)
 
     outs = []
@@ -285,7 +293,7 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
                 ),
             ],
             out_specs=pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
-            out_shape=jax.ShapeDtypeStruct((1, Gp * 128), dt),
+            out_shape=jax.ShapeDtypeStruct((1, Gp * 128), cdt),
             interpret=interpret,
         )(data, enc, b3, x2)
         outs.append(y[0, : Gc * 128])
@@ -634,7 +642,8 @@ class Sell2Matrix:
         bit-identical semantics)."""
         m = self._m
         SH = m["W"] // 128
-        xc = x.astype(self.dtype)
+        cdt = (jnp.float32 if self.dtype == jnp.bfloat16 else self.dtype)
+        xc = x.astype(cdt)
         xp = jnp.pad(xc, (0, m["S_pad"] * 128 - m["m"]))
         outs = []
         for spec, (data, enc, bases) in zip(m["classes"], self.arrays):
@@ -651,7 +660,7 @@ class Sell2Matrix:
             widx = jnp.clip(woff[:, None] + w, 0, bases.shape[1] - 1)
             t = bases[g_idx[None, :], widx]                # subrow base
             cols = (t + hi) * 128 + lo
-            y = jnp.sum(data * xp[cols], axis=0)
+            y = jnp.sum(data.astype(cdt) * xp[cols], axis=0)
             outs.append(y[: Gc * 128])
         out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
         return out[: m["n"]].astype(x.dtype)

@@ -41,6 +41,14 @@ def main():
           file=sys.stderr)
 
     def bench(label, op, n, nnz, dtype=np.float32):
+        try:
+            return _bench(label, op, n, nnz, dtype)
+        except Exception as e:
+            print(f"{label:18s} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            return None
+
+    def _bench(label, op, n, nnz, dtype=np.float32):
         x0 = jnp.asarray(
             np.random.default_rng(0).standard_normal(n), dtype=dtype
         )
@@ -73,8 +81,9 @@ def main():
         bench("sell_v2_f32", S2.spmv, A.shape[0], A.nnz)
     if S2b is not None:
         bench("sell_v2_bf16", S2b.spmv, A.shape[0], A.nnz)
-    if SD is not None:
-        bench("sell_df64", SD.spmv, A.shape[0], A.nnz, dtype=np.float64)
+    if SD is not None and bench(
+        "sell_df64", SD.spmv, A.shape[0], A.nnz, dtype=np.float64
+    ) is not None:
         # accuracy check on chip (interpret mode rounds differently)
         x = np.random.default_rng(1).standard_normal(A.shape[0])
         y = np.asarray(SD.spmv(jnp.asarray(x)))
@@ -98,8 +107,9 @@ def main():
     print(f"# block3: n={E.shape[0]} nnz={E.nnz} gen={time.time()-t0:.0f}s",
           file=sys.stderr)
     SB = BlockSellMatrix.from_scipy(E, block=3, dtype=jnp.float32)
-    if SB is not None:
-        bench("bsell3_f32", SB.spmv, E.shape[0], E.nnz)
+    if SB is not None and bench(
+        "bsell3_f32", SB.spmv, E.shape[0], E.nnz
+    ) is not None:
         x = np.random.default_rng(2).standard_normal(E.shape[0])
         y = np.asarray(SB.spmv(jnp.asarray(x).astype(jnp.float32)),
                        dtype=np.float64)
