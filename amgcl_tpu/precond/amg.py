@@ -252,11 +252,13 @@ class AMG:
 # ----------------------------------------------------------------------
 
 def _relax_steps(level, rhs, x, steps, post=False):
+    """``x=None`` = zero initial guess: the first sweep skips its A @ 0
+    SpMV (Pallas SpMVs are opaque custom calls XLA cannot fold)."""
     for _ in range(steps):
         x = (rlx.apply_post if post else rlx.apply_pre)(
             level.relax, level.A, rhs, x
         )
-    return x
+    return x if x is not None else jnp.zeros_like(rhs)
 
 
 def _cycle(levels, i, rhs, prm: AMGParams):
@@ -264,12 +266,11 @@ def _cycle(levels, i, rhs, prm: AMGParams):
     if i == len(levels) - 1:
         if lvl.coarse_inv is not None:
             return lvl.coarse_inv @ rhs
-        x = jnp.zeros_like(rhs)
-        x = _relax_steps(lvl, rhs, x, prm.npre)
+        x = _relax_steps(lvl, rhs, None, prm.npre)
         x = _relax_steps(lvl, rhs, x, prm.npost, post=True)
         return x
 
-    x = jnp.zeros_like(rhs)
+    x = None
     for k in range(prm.ncycle):
         x = _relax_steps(lvl, rhs, x, prm.npre)
         t = rhs - spmv(lvl.A, x)

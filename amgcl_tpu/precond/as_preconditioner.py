@@ -22,8 +22,7 @@ class AsPreconditioner:
 
     def apply(self, r):
         dt = self.A_dev.dtype
-        x = jnp.zeros_like(r, dtype=dt)
-        x = rlx.apply_standalone(self.state, self.A_dev, r.astype(dt), x)
+        x = rlx.apply_standalone(self.state, self.A_dev, r.astype(dt))
         return x.astype(r.dtype)
 
     def system_matrix(self):
@@ -38,8 +37,7 @@ def make_relax_precond(state, A_dev):
 
     def apply(r):
         dt = A_dev.dtype
-        x = jnp.zeros_like(r, dtype=dt)
-        x = rlx.apply_standalone(state, A_dev, r.astype(dt), x)
+        x = rlx.apply_standalone(state, A_dev, r.astype(dt))
         return x.astype(r.dtype)
 
     return apply

@@ -8,6 +8,8 @@ sweep on device.  Dispatch is by state type at trace time, so the jitted
 multigrid cycle stays branch-free.
 """
 
+import jax.numpy as jnp
+
 from .damped_jacobi import DampedJacobi, JacobiState
 from .spai0 import SPAI0, SPAI0State
 from .chebyshev import Chebyshev, ChebyshevState
@@ -42,11 +44,16 @@ def make_smoother(name: str, **params):
     return cls(**params)
 
 
-def apply_pre(state, A, rhs, x):
+def apply_pre(state, A, rhs, x=None):
     """One smoothing sweep (forward for directional smoothers).
     Trace-time dispatch on the state type — the jitted cycle stays
     branch-free (reference: relaxation apply_pre,
-    amgcl/relaxation/damped_jacobi.hpp:103)."""
+    amgcl/relaxation/damped_jacobi.hpp:103).
+
+    ``x=None`` means a zero initial guess: smoothers skip the A @ 0
+    SpMV (the Pallas kernels are opaque custom calls, so XLA cannot
+    fold it away — the reference's zero-guess relax path plays the
+    same role, amgcl/amg.hpp:357-365)."""
     from .damped_jacobi import jacobi_apply
     from .spai0 import spai0_apply
     from .spai1 import spai1_apply
@@ -63,6 +70,8 @@ def apply_pre(state, A, rhs, x):
     if isinstance(state, ChebyshevState):
         return chebyshev_apply(state, A, rhs, x)
     if isinstance(state, GaussSeidelState):
+        if x is None:
+            x = jnp.zeros_like(rhs)
         return gs_apply(state, A, rhs, x, reverse=False)
     if isinstance(state, ILUState):
         return ilu_apply(state, A, rhs, x)
@@ -78,13 +87,16 @@ def apply_post(state, A, rhs, x):
     return apply_pre(state, A, rhs, x)
 
 
-def apply_standalone(state, A, rhs, x):
+def apply_standalone(state, A, rhs, x=None):
     """Full smoother application for standalone preconditioner use
     (reference: relaxation ``apply``, e.g. gauss_seidel runs forward+backward
-    sweeps — keeping the operator symmetric for CG)."""
+    sweeps — keeping the operator symmetric for CG).  ``x=None`` = zero
+    initial guess (see apply_pre)."""
     from .gauss_seidel import gs_apply
 
     if isinstance(state, GaussSeidelState):
+        if x is None:
+            x = jnp.zeros_like(rhs)
         x = gs_apply(state, A, rhs, x, reverse=False)
         return gs_apply(state, A, rhs, x, reverse=True)
     return apply_pre(state, A, rhs, x)

@@ -86,12 +86,16 @@ def _plain_spectral_radius(A: sp.csr_matrix, power_iters: int) -> float:
     return abs(rho)
 
 
-def chebyshev_apply(state: ChebyshevState, A: SparseMatrix, rhs, x):
+def chebyshev_apply(state: ChebyshevState, A: SparseMatrix, rhs, x=None):
     c, d = state.c, state.d
+    zero_guess = x is None
+    if zero_guess:
+        x = jnp.zeros_like(rhs)
     p = jnp.zeros_like(x)
     alpha = jnp.zeros_like(c)
     for k in range(state.degree):
-        r = rhs - spmv(A, x)
+        # zero initial guess: the k=0 residual is rhs itself
+        r = rhs if (k == 0 and zero_guess) else rhs - spmv(A, x)
         if state.scale:
             r = state.inv_dia * r
         if k == 0:

@@ -42,5 +42,7 @@ class DampedJacobi:
         )
 
 
-def jacobi_apply(state: JacobiState, A: SparseMatrix, rhs, x):
+def jacobi_apply(state: JacobiState, A: SparseMatrix, rhs, x=None):
+    if x is None:          # zero initial guess: skip the A @ 0 SpMV
+        return state.damping * state.inv_dia * rhs
     return x + state.damping * state.inv_dia * (rhs - spmv(A, x))

@@ -126,6 +126,8 @@ def ilu_tri_solve(state: ILUState, r):
     return z
 
 
-def ilu_apply(state: ILUState, A: SparseMatrix, rhs, x):
+def ilu_apply(state: ILUState, A: SparseMatrix, rhs, x=None):
+    if x is None:          # zero initial guess: skip the A @ 0 SpMV
+        return state.damping * ilu_tri_solve(state, rhs)
     r = rhs - spmv(A, x)
     return x + state.damping * ilu_tri_solve(state, r)

@@ -36,5 +36,7 @@ class SPAI0:
         return SPAI0State(m=jnp.asarray(m, dtype=A_dev.dtype))
 
 
-def spai0_apply(state: SPAI0State, A: SparseMatrix, rhs, x):
+def spai0_apply(state: SPAI0State, A: SparseMatrix, rhs, x=None):
+    if x is None:          # zero initial guess: skip the A @ 0 SpMV
+        return state.m * rhs
     return x + state.m * (rhs - spmv(A, x))

@@ -107,5 +107,7 @@ class SPAI1:
         return SPAI1State(M=from_scipy_auto(M, dtype=A_dev.dtype))
 
 
-def spai1_apply(state: SPAI1State, A: SparseMatrix, rhs, x):
+def spai1_apply(state: SPAI1State, A: SparseMatrix, rhs, x=None):
+    if x is None:          # zero initial guess: skip the A @ 0 SpMV
+        return spmv(state.M, rhs)
     return x + spmv(state.M, rhs - spmv(A, x))
