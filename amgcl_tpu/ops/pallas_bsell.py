@@ -155,27 +155,36 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
     x2 = jnp.pad(xc, ((0, 0), (0, S_pad * 128 - mb)))
     x2 = x2.reshape(b * S_pad, 128)
 
+    from .pallas_sell2 import _fit_R
+
     outs = []
     for spec, (data, enc, bases) in zip(meta["classes"], class_arrays):
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
-        grid = Gp // R
+        # dense block-row classes overflow the 16 MiB scoped-VMEM limit
+        # at R=4 (data block is b*b*K8 sublanes tall) — shrink R per
+        # class until the double-buffered streams fit
+        Rc = _fit_R(
+            R, Gp,
+            (data.dtype.itemsize * b * b + 4) * K8 * 128,
+        )
+        grid = Gp // Rc
         # Mosaic requires SMEM block sublane dims divisible by 8 (or
         # equal to the array dim): carry the window table as
         # (grid, Rp, L) with per-program rows padded to a sublane
         # multiple (see pallas_sell2.sell2_spmv_pallas).
-        Rp = -(-R // 8) * 8
-        b3 = bases.reshape(grid, R, L)
-        if Rp != R:
-            b3 = jnp.pad(b3, ((0, 0), (0, Rp - R), (0, 0)))
+        Rp = -(-Rc // 8) * 8
+        b3 = bases.reshape(grid, Rc, L)
+        if Rp != Rc:
+            b3 = jnp.pad(b3, ((0, 0), (0, Rp - Rc), (0, 0)))
         y = pl.pallas_call(
-            partial(_bsell_kernel, R, b, K8, nw, S_pad),
+            partial(_bsell_kernel, Rc, b, K8, nw, S_pad),
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(
-                    (b * b * K8, R * 128), lambda g: (jnp.int32(0), g)
+                    (b * b * K8, Rc * 128), lambda g: (jnp.int32(0), g)
                 ),
-                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, Rc * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec(
                     (1, Rp, L),
                     lambda g: (g, jnp.int32(0), jnp.int32(0)),
@@ -187,7 +196,7 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (b, R * 128), lambda g: (jnp.int32(0), g)
+                (b, Rc * 128), lambda g: (jnp.int32(0), g)
             ),
             out_shape=jax.ShapeDtypeStruct((b, Gp * 128), cdt),
             interpret=interpret,

@@ -194,6 +194,20 @@ def pack_sell2(A: sp.csr_matrix, W: int = 128, R: int = 4,
                 nnz=int(A.nnz), G=G)
 
 
+def _fit_R(R, Gp, stream_bytes_per_group, budget=10 * 2**20):
+    """Largest divisor of ``R`` whose per-program streamed block (data +
+    enc, double-buffered by Mosaic) stays under the scoped-VMEM budget
+    (XLA's default scoped limit is 16 MiB; dense row classes with large
+    K8 overflow it at R=4).  ``Gp`` is padded to a multiple of R at pack
+    time, so any divisor keeps the grid exact."""
+    r = R
+    while r > 1 and 2 * stream_bytes_per_group * r > budget:
+        r -= 1
+        while R % r or Gp % r:
+            r -= 1
+    return max(r, 1)
+
+
 # ----------------------------------------------------------------------
 # the kernel
 # ----------------------------------------------------------------------
@@ -268,20 +282,21 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
     for spec, (data, enc, bases) in zip(meta["classes"], class_arrays):
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
-        grid = Gp // R
+        Rc = _fit_R(R, Gp, (data.dtype.itemsize + 4) * K8 * 128)
+        grid = Gp // Rc
         # Mosaic requires SMEM block sublane dims divisible by 8: carry
         # the window table as (grid, Rp, L) with the per-program rows
         # padded up to a sublane multiple (the pad is KBs, fused by XLA).
-        Rp = -(-R // 8) * 8
-        b3 = bases.reshape(grid, R, L)
-        if Rp != R:
-            b3 = jnp.pad(b3, ((0, 0), (0, Rp - R), (0, 0)))
+        Rp = -(-Rc // 8) * 8
+        b3 = bases.reshape(grid, Rc, L)
+        if Rp != Rc:
+            b3 = jnp.pad(b3, ((0, 0), (0, Rp - Rc), (0, 0)))
         y = pl.pallas_call(
-            partial(_sell2_kernel, R, SH, nw, load8),
+            partial(_sell2_kernel, Rc, SH, nw, load8),
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
-                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, Rc * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, Rc * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec(
                     (1, Rp, L),
                     lambda g: (g, jnp.int32(0), jnp.int32(0)),
@@ -292,7 +307,8 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
                     lambda g: (jnp.int32(0), jnp.int32(0)),
                 ),
             ],
-            out_specs=pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
+            out_specs=pl.BlockSpec((1, Rc * 128),
+                                   lambda g: (jnp.int32(0), g)),
             out_shape=jax.ShapeDtypeStruct((1, Gp * 128), cdt),
             interpret=interpret,
         )(data, enc, b3, x2)
@@ -397,19 +413,20 @@ def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
     for spec, (dh, dl, enc, bases) in zip(meta["classes"], class_arrays):
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
-        grid = Gp // R
+        Rc = _fit_R(R, Gp, 12 * K8 * 128)      # hi + lo + enc streams
+        grid = Gp // Rc
         # see sell2_spmv_pallas: SMEM sublane dims must be multiples of 8
-        Rp = -(-R // 8) * 8
-        b3 = bases.reshape(grid, R, L)
-        if Rp != R:
-            b3 = jnp.pad(b3, ((0, 0), (0, Rp - R), (0, 0)))
+        Rp = -(-Rc // 8) * 8
+        b3 = bases.reshape(grid, Rc, L)
+        if Rp != Rc:
+            b3 = jnp.pad(b3, ((0, 0), (0, Rp - Rc), (0, 0)))
         yh, yl = pl.pallas_call(
-            partial(_sell2_df_kernel, R, nw, S_pad),
+            partial(_sell2_df_kernel, Rc, nw, S_pad),
             grid=(grid,),
             in_specs=[
-                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
-                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
-                pl.BlockSpec((K8, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, Rc * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, Rc * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((K8, Rc * 128), lambda g: (jnp.int32(0), g)),
                 pl.BlockSpec(
                     (1, Rp, L),
                     lambda g: (g, jnp.int32(0), jnp.int32(0)),
@@ -421,8 +438,8 @@ def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
                 ),
             ],
             out_specs=[
-                pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
-                pl.BlockSpec((1, R * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((1, Rc * 128), lambda g: (jnp.int32(0), g)),
+                pl.BlockSpec((1, Rc * 128), lambda g: (jnp.int32(0), g)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((1, Gp * 128), jnp.float32),

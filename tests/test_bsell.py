@@ -126,3 +126,37 @@ def test_auto_select_prefers_bsell_when_forced():
     M = _rcm_block(sp.csr_matrix(A), 3)
     S = from_scipy_auto(M, block=3, dtype=jnp.float32, format="bsell")
     assert isinstance(S, BlockSellMatrix)
+
+
+def test_vmem_R_shrink_on_dense_class(elas):
+    """Dense block-row classes must shrink the per-program R so the
+    streamed block stays under the scoped-VMEM budget (the 1M-dof
+    Serena-class run OOMed VMEM at K8=312, R=4); the divisor-of-R pick
+    keeps the grid exact and the result unchanged."""
+    from amgcl_tpu.ops.pallas_sell2 import _fit_R
+
+    # exact failing shape: b=3, K8=312 -> Rc must drop below 4
+    stream = (4 * 9 + 4) * 312 * 128
+    Rc = _fit_R(4, 8, stream)
+    assert Rc in (1, 2) and 8 % Rc == 0
+    assert _fit_R(4, 8, 1024) == 4          # small classes keep R
+
+    # end-to-end: artificially dense block rows through the kernel
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(3)
+    nb = 140
+    b = 2
+    dense = sp.random(nb, nb, density=0.6, random_state=7,
+                      format="csr")
+    dense = dense + sp.eye(nb)
+    A = sp.kron(dense, np.ones((b, b))).tocsr()
+    A.data[:] = rng.standard_normal(len(A.data))
+    S = BlockSellMatrix.from_scipy(A, block=b, dtype=jnp.float32,
+                                   nw_cap=256)
+    assert S is not None
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y = bsell_spmv_pallas(S._m, jnp.asarray(x), S.arrays, interpret=True)
+    ref = A @ x.astype(np.float64)
+    assert np.abs(np.asarray(y, np.float64) - ref).max() \
+        < 2e-3 * np.abs(ref).max()
