@@ -168,22 +168,32 @@ def _local(lvl: DistGridLevel):
     )
 
 
-def _relax_apply(state, A: DistDia, rhs, x):
-    """SPAI0/Jacobi/Chebyshev sweeps against the distributed operator."""
+def _relax_apply(state, A: DistDia, rhs, x=None):
+    """SPAI0/Jacobi/Chebyshev sweeps against the distributed operator.
+    ``x=None`` = zero initial guess: skips the A @ 0 SpMV *and its halo
+    exchange* (bit-identical — A @ 0 is exactly 0, 0 + y is y — so
+    dist-vs-serial iteration equality is untouched)."""
     from ..relaxation.spai0 import SPAI0State
     from ..relaxation.damped_jacobi import JacobiState
     from ..relaxation.chebyshev import ChebyshevState
 
     if isinstance(state, SPAI0State):
+        if x is None:
+            return state.m * rhs
         return x + state.m * (rhs - dist_spmv(A, x))
     if isinstance(state, JacobiState):
+        if x is None:
+            return state.damping * state.inv_dia * rhs
         return x + state.damping * state.inv_dia * (rhs - dist_spmv(A, x))
     if isinstance(state, ChebyshevState):
         c, d = state.c, state.d
+        zero_guess = x is None
+        if zero_guess:
+            x = jnp.zeros_like(rhs)
         p = jnp.zeros_like(x)
         alpha = jnp.zeros_like(c)
         for k in range(state.degree):
-            r = rhs - dist_spmv(A, x)
+            r = rhs if (k == 0 and zero_guess) else rhs - dist_spmv(A, x)
             if state.scale:
                 r = state.inv_dia * r
             if k == 0:
@@ -255,10 +265,12 @@ def _dist_cycle(dist_levels, tail, i, rhs, prm, axis):
 
     lvl = dist_levels[i]
     A, Sm, St, relax = _local(lvl)
-    x = jnp.zeros_like(rhs)
+    x = None                    # zero guess: first sweep skips A @ 0
     for _ in range(prm.ncycle):
         for _ in range(prm.npre):
             x = _relax_apply(relax, A, rhs, x)
+        if x is None:
+            x = jnp.zeros_like(rhs)
         t = rhs - dist_spmv(A, x)
         rc = _restrict_local(lvl, St, t)
         xc = _dist_cycle(dist_levels, tail, i + 1, rc, prm, axis)

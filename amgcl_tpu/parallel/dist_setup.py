@@ -472,10 +472,12 @@ def _cycle_padded(dist_levels, tail, tail_idx, i, rhs, prm, axis):
     Pm = _mk_local(tuple(a[0] for a in lvl.P_arrs), lvl.P_meta, axis)
     Rm = _mk_local(tuple(a[0] for a in lvl.R_arrs), lvl.R_meta, axis)
     relax = _unstack(lvl.relax)
-    x = jnp.zeros_like(rhs)
+    x = None                    # zero guess: first sweep skips A @ 0
     for _ in range(prm.ncycle):
         for _ in range(prm.npre):
             x = _relax_apply(relax, A, rhs, x)
+        if x is None:
+            x = jnp.zeros_like(rhs)
         t = rhs - dist_spmv(A, x)
         rc = dist_spmv(Rm, t)
         xc = _cycle_padded(dist_levels, tail, tail_idx, i + 1, rc, prm,

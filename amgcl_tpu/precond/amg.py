@@ -104,6 +104,18 @@ class AMG:
         self.coarsening = copy.deepcopy(
             coarsening or SmoothedAggregation(block_size=block)
         )
+        # A block solver's coarsening must aggregate whole block nodes:
+        # a user-supplied policy left at the scalar default would split
+        # a node's dofs across aggregates (coarse sizes stop being
+        # block-divisible; nullspace QR goes rank-deficient).  Inherit
+        # the solver's block size unless the user chose one explicitly
+        # (reference: amgcl's coarsening templates are instantiated on
+        # the backend's value type, so this is implicit there).
+        if (
+            block > 1
+            and getattr(self.coarsening, "block_size", None) == 1
+        ):
+            self.coarsening.block_size = block
         self.relaxation = relaxation or rlx.SPAI0()
         A = sp.csr_matrix(A)
         A.sort_indices()
