@@ -53,7 +53,9 @@ def color_graph(A: sp.csr_matrix, seed: int = 7) -> np.ndarray:
         colors[take] = color
         color += 1
         remaining = colors < 0
-        if color > 256:
+        if color > 4096:
+            # JP always progresses (the max-priority uncolored node
+            # joins every round); this guards pathological inputs only
             raise RuntimeError("coloring failed to converge")
     return colors
 
@@ -84,8 +86,24 @@ class GaussSeidel:
             from ..coarsening.aggregates import pointwise_matrix
             colors = color_graph(pointwise_matrix(A_host, b))
 
-        parts = []
         ncolors = int(colors.max()) + 1
+        if ncolors > 64:
+            # Near-dense levels (e.g. a nullspace-smoothed coarse RAP)
+            # color into hundreds of parts — hundreds of tiny sequential
+            # device steps smooth worse than one Jacobi sweep.  Degrade
+            # gracefully for this level (the reference's sequential CPU
+            # GS has no analogous constraint).
+            import warnings
+
+            from .damped_jacobi import DampedJacobi
+
+            warnings.warn(
+                f"gauss_seidel: {ncolors} colors on a dense level "
+                f"(n={n}); using damped Jacobi for this level instead"
+            )
+            return DampedJacobi().setup(A_host, A_dev)
+
+        parts = []
         for c in range(ncolors):
             brows = np.nonzero(colors == c)[0]
             if b == 1:

@@ -72,34 +72,42 @@ class SPAI1:
         B.sort_indices()
         Brows = np.repeat(np.arange(n), np.diff(B.indptr)).astype(np.int64)
         Bkeys = Brows * n + B.indices.astype(np.int64)
-
-        # G = B[J[:, :, None], J[:, None, :]]  (n, K, K) via flat lookup
-        G = _csr_value_lookup(
-            Bkeys, B.data, J[:, :, None] * np.int64(n) + J[:, None, :]
-        )
-        # rhs b[a] = A[J[a], i]
         Akeys = rows * np.int64(n) + A.indices.astype(np.int64)
-        b = _csr_value_lookup(
-            Akeys, A.data, J * np.int64(n) + np.arange(n)[:, None]
-        )
 
-        # identity-pad the unused slots so one batched solve covers all
-        # row sizes: pad rows/cols of G become e_a with b=0 → m_pad = 0
+        # Batched per-row least squares, chunked over rows so the
+        # (chunk, K, K) Gram tensor stays bounded (a dense-ish coarse
+        # level with K ~ 1000 would otherwise allocate n*K*K at once —
+        # observed as a 212 GiB MemoryError on a nullspace-smoothed RAP).
+        chunk = max(1, min(n, int(256e6 // max(K * K * 8, 1))))
+        m = np.empty((n, K), dtype=B.data.dtype)
         slot = np.arange(K)
-        pad = slot[None, :] >= counts[:, None]          # (n, K)
-        padm = pad[:, :, None] | pad[:, None, :]
-        G[padm] = 0.0
-        da = np.nonzero(pad)
-        G[da[0], da[1], da[1]] = 1.0
-        b[pad] = 0.0
-
-        try:
-            m = np.linalg.solve(G, b[..., None])[..., 0]
-        except np.linalg.LinAlgError:
-            # singular rows: ridge-regularize only those
-            sing = np.abs(np.linalg.det(G)) < 1e-300
-            G[sing] += 1e-12 * np.eye(K)
-            m = np.linalg.solve(G, b[..., None])[..., 0]
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            Jc = J[i0:i1]
+            # G = B[J[:, :, None], J[:, None, :]] via flat key lookup
+            G = _csr_value_lookup(
+                Bkeys, B.data, Jc[:, :, None] * np.int64(n) + Jc[:, None, :]
+            )
+            # rhs b[a] = A[J[a], i]
+            b = _csr_value_lookup(
+                Akeys, A.data,
+                Jc * np.int64(n) + np.arange(i0, i1)[:, None],
+            )
+            # identity-pad the unused slots so one batched solve covers
+            # all row sizes: pad rows/cols of G become e_a with b=0
+            pad = slot[None, :] >= counts[i0:i1, None]
+            padm = pad[:, :, None] | pad[:, None, :]
+            G[padm] = 0.0
+            da = np.nonzero(pad)
+            G[da[0], da[1], da[1]] = 1.0
+            b[pad] = 0.0
+            try:
+                m[i0:i1] = np.linalg.solve(G, b[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                # singular rows: ridge-regularize only those
+                sing = np.abs(np.linalg.det(G)) < 1e-300
+                G[sing] += 1e-12 * np.eye(K)
+                m[i0:i1] = np.linalg.solve(G, b[..., None])[..., 0]
 
         mvals = m[rows, offs]
         from ..ops.formats import from_scipy_auto
