@@ -90,21 +90,49 @@ def _pad_ell_rows(data, cols, size):
 
 
 @partial(jax.jit, static_argnames=("nc", "kc"))
-def _merge_partial_ell(parts, nc, kc):
-    """Sum per-chunk partial Ac ELLs (disjoint fine-row contributions to
-    the same coarse rows) through one final sort/segment pass."""
+def _merge2_ell(d1, c1, d2, c2, nc, kc):
+    """Sum two partial Ac ELLs through one sort/segment pass."""
     rows = jnp.broadcast_to(
         jnp.arange(nc, dtype=jnp.int32)[None, :], (kc, nc)
-    )
-    all_r, all_c, all_v = [], [], []
-    for d_, c_ in parts:
-        all_r.append(rows.reshape(-1))
-        all_c.append(c_.reshape(-1))
-        all_v.append(d_.reshape(-1))
+    ).reshape(-1)
     return _terms_to_ell(
-        jnp.concatenate(all_r), jnp.concatenate(all_c),
-        jnp.concatenate(all_v), nc, kc,
+        jnp.concatenate([rows, rows]),
+        jnp.concatenate([c1.reshape(-1), c2.reshape(-1)]),
+        jnp.concatenate([d1.reshape(-1), d2.reshape(-1)]),
+        nc, kc,
     )
+
+
+def _merge_partial_ell(parts, nc, kc):
+    """Sum per-chunk partial Ac ELLs (disjoint fine-row contributions to
+    the same coarse rows) by pairwise tree reduction.  One flat sort over
+    all chunks at once materializes n_chunks * kc * nc slots (observed
+    20 GB HBM at 150k dof); the pairwise merge keeps every step at
+    2 * kc * nc with ONE compiled program reused across the whole tree.
+    Intermediate widths never exceed the final union's width, so the
+    caller's kc-bound check on the final result remains sufficient."""
+    parts = list(parts)
+    kmax = nnz = None
+    while len(parts) > 1:
+        nxt = []
+        for i in range(0, len(parts) - 1, 2):
+            d_, c_, km, nnz = _merge2_ell(
+                parts[i][0], parts[i][1],
+                parts[i + 1][0], parts[i + 1][1], nc, kc,
+            )
+            # a truncated INTERMEDIATE merge would make the final width
+            # report unreliable — the retry check needs the max over
+            # every merge in the tree
+            kmax = km if kmax is None else jnp.maximum(kmax, km)
+            nxt.append((d_, c_))
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    d_, c_ = parts[0]
+    if kmax is None:                       # single part: width known good
+        kmax = jnp.asarray(kc, jnp.int32)
+        nnz = jnp.asarray(0, jnp.int32)
+    return d_, c_, kmax, nnz
 
 
 @partial(jax.jit, static_argnames=("nc", "kr_bound"))
@@ -311,6 +339,26 @@ def build_ell_hierarchy(
         P_data, P_cols = smoothed_prolongation_ell(
             data, cols, ids, strong, omega
         )
+        # Compress P to its true row width before the products: the
+        # positional construction is (K+1)-wide but smoothed-P rows only
+        # touch a handful of aggregates, and AP/RAP term counts scale
+        # with the PADDED width (the block-expanded elasticity path was
+        # sorting 16x more terms than exist).  One cheap extra sort.
+        kp = 16
+        while True:
+            rowsP = jnp.broadcast_to(
+                jnp.arange(P_data.shape[1], dtype=jnp.int32)[None, :],
+                P_cols.shape,
+            )
+            Pd2, Pc2, kmax_p, nnz_p = _terms_to_ell(
+                rowsP.reshape(-1), P_cols.reshape(-1),
+                P_data.reshape(-1), n, kp,
+            )
+            if int(kmax_p) <= kp:
+                break
+            stats["retries"] += 1
+            kp = _pow2_8(int(kmax_p))
+        P_data, P_cols = Pd2, Pc2
 
         # Fine-row chunking bounds the sort-stage peak memory: each
         # chunk's product terms are expanded, sorted and compressed
@@ -322,10 +370,10 @@ def build_ell_hierarchy(
         TERM_CAP = _TERM_CAP
 
         Kb = _pow2_8(K)
-        Kpb = _pow2_8(K + 1)
+        Kpb = P_data.shape[0]                # compressed, already pow2_8
         nc_b = _pow2_8(nc)
         dA, cA = _pad_ell_width(data, cols, Kb)
-        dP, cP = _pad_ell_width(P_data, P_cols, Kpb)
+        dP, cP = P_data, P_cols
 
         kap = _pow2_8(K + 9)
         while True:
@@ -351,11 +399,17 @@ def build_ell_hierarchy(
             kap = _pow2_8(kmax_all)
         AP_d = jnp.concatenate([p[0] for p in AP_parts], axis=1)[:, :n]
         AP_c = jnp.concatenate([p[1] for p in AP_parts], axis=1)[:, :n]
+        # _terms_to_ell packs each row's entries from slot 0, so slicing
+        # to the true max width is free compression for the RAP below
+        kb_eff = _pow2_8(max(kmax_all, 8))
+        if kb_eff < kap:
+            AP_d = AP_d[:kb_eff]
+            AP_c = AP_c[:kb_eff]
         t0 = _mark("ap", t0, AP_d)
 
         kc = _pow2_8(4 * K)
         while True:
-            CH = max(1024, _TERM_CAP // max(Kpb * kap, 1))
+            CH = max(1024, _TERM_CAP // max(Kpb * kb_eff, 1))
             CH = 1 << (CH.bit_length() - 1)
             if CH >= n:
                 CH = _pow2_8(n)

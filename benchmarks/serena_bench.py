@@ -39,7 +39,7 @@ def main():
     from amgcl_tpu import make_block_solver
 
     t0 = time.time()
-    A, rhs, _ = fem_elasticity_3d(npoints)
+    A, rhs, coords = fem_elasticity_3d(npoints)
     A = sp.csr_matrix(A)
     gen_s = time.time() - t0
 
@@ -55,16 +55,25 @@ def main():
     A = A[ps][:, ps].tocsr()
     A.sort_indices()
     rhs = rhs[ps]
+    coords = coords[p]
     rcm_s = time.time() - t0
     print(f"# n={A.shape[0]} nnz={A.nnz} generate={gen_s:.1f}s "
           f"rcm={rcm_s:.1f}s", file=sys.stderr)
 
+    from amgcl_tpu.coarsening.smoothed_aggregation import SmoothedAggregation
+    from amgcl_tpu.coarsening import rigid_body_modes
+
+    # rigid-body-mode near-nullspace (the reference's nullspace tutorial
+    # machinery, coarsening/rigid_body_modes.hpp) — measured 233 vs 281
+    # total inner iterations at 90k dof over plain SA for this problem
+    rbm = rigid_body_modes(3, coords)
     configs = (
         # mixed precision (the reference's winning Serena config class):
         # f32 block hierarchy + inner CG, f64 defect correction
         ("refine_block_1e-8", dict(
             solver="refine", tol=1e-8, maxiter=25, inner="cg",
             inner_tol=1e-4, inner_maxiter=100,
+            coarsening=SmoothedAggregation(nullspace=rbm),
         )),
     )
     for label, kw in configs:

@@ -90,7 +90,7 @@ def test_block_aligned_setup():
     levels stay block-aligned and the RAP matches the host product."""
     from amgcl_tpu.models.unstructured import fem_elasticity_3d
 
-    A, rhs, _ = fem_elasticity_3d(900)
+    A, rhs, _ = fem_elasticity_3d(400)
     A = sp.csr_matrix(A)
     P = DeviceGeneralAMG(A, block=3, params=AMGParams(coarse_enough=120))
     assert len(P.levels) >= 2
@@ -108,16 +108,21 @@ def test_block_aligned_setup():
     x, info = cg(Adev, P, jnp.asarray(rhs), tol=1e-8, maxiter=120)
     r = np.linalg.norm(rhs - A @ np.asarray(x, np.float64))
     assert r / np.linalg.norm(rhs) < 1e-7
-    assert int(info.iters) <= 60
+    assert int(info.iters) <= 70
 
 
 def test_block_api_device_setup():
     import amgcl_tpu
     from amgcl_tpu.models.unstructured import fem_elasticity_3d
 
-    A, rhs, _ = fem_elasticity_3d(700)
+    A, rhs, _ = fem_elasticity_3d(400)
     A = sp.csr_matrix(A)
-    S = amgcl_tpu.make_solver(A, block=3, device_setup=True, maxiter=150)
+    # n < the default coarse_enough would yield a single-level hierarchy
+    # (no P, so no fast-format L0 substitution to assert on)
+    S = amgcl_tpu.make_solver(
+        A, block=3, device_setup=True, maxiter=150,
+        amg_params=AMGParams(coarse_enough=200),
+    )
     x, info = S(rhs)
     r = np.linalg.norm(rhs - A @ np.asarray(x, np.float64))
     assert r / np.linalg.norm(rhs) < 1e-7
