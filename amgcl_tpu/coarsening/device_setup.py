@@ -87,14 +87,13 @@ def pmis_ids_device(data, cols, eps2, seed, max_rounds=64):
     w = w + 1                                            # > 0
 
     def nbr_max(key):
-        """max over {self} ∪ strong out-neighbors ∪ strong in-neighbors."""
+        """max over {self} ∪ strong neighbors.  Out-neighbors only: the
+        strength criterion is symmetric and SA assumes a symmetric
+        pattern (the 1-hop join below already relies on this), and the
+        in-neighbor scatter-max it would otherwise need executes
+        serialized on TPU — dropping it cut a PMIS round ~2x."""
         kj = jnp.where(strong, key[scols], jnp.int64(0))
-        m = jnp.maximum(key, jnp.max(kj, axis=0))
-        m = m.at[scols.reshape(-1)].max(
-            jnp.where(strong, jnp.broadcast_to(key[None, :], strong.shape),
-                      jnp.int64(0)).reshape(-1)
-        )
-        return m
+        return jnp.maximum(key, jnp.max(kj, axis=0))
 
     def round_(st):
         ids, it = st
