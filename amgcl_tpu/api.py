@@ -32,6 +32,34 @@ from . import relaxation as rlx
 from .coarsening.smoothed_aggregation import SmoothedAggregation
 
 
+def _padded_layout_len(A_dev, A32_dev, precond):
+    """Common padded-vector length for a GridAMG solve, or None when the
+    padded layout does not apply (non-DIA operator, unsupported smoother
+    state, single level, tiny grids).  All participating operators' tiles
+    are powers of two, so the max tile-rounded length is a multiple of
+    every tile."""
+    from .ops.formats import DiaMatrix
+    from .ops.pallas_spmv import dia_padded_len, dia_padded_ok
+    from .coarsening.grid_aggregation import GridTransfer
+    from .relaxation.spai0 import SPAI0State
+    from .relaxation.damped_jacobi import JacobiState
+    from .relaxation.chebyshev import ChebyshevState
+
+    lv = precond.levels
+    if len(lv) < 2 or not isinstance(lv[0].P, GridTransfer):
+        return None
+    if not isinstance(
+        lv[0].relax, (SPAI0State, JacobiState, ChebyshevState)
+    ):
+        return None
+    mats = [A_dev, A32_dev, lv[0].A, lv[0].P.S, lv[0].P.St]
+    mats = [m for m in mats if m is not None]
+    if not all(isinstance(m, DiaMatrix) and dia_padded_ok(m) for m in mats):
+        return None
+    n_al = max(dia_padded_len(m) for m in mats)
+    return n_al if n_al > A_dev.shape[0] else None
+
+
 class Solver:
     """make_solver: P = AMG (or any precond object), S = a Krylov solver.
 
@@ -246,21 +274,40 @@ class Solver:
         if on_tpu:
             from .ops.pallas_spmv import prepad_pallas
         else:
-            prepad_pallas = lambda o: o
+            prepad_pallas = lambda o, pad_to=None: o
 
         if isinstance(self.precond, (AMG, GridAMG, DeviceGeneralAMG)):
             prm = self.precond.prm
+
+            # Padded-vector Krylov layout (grid/DIA path): keep every
+            # solve-loop vector at the common tile-aligned length so the
+            # level-0 SpMVs run the zero-copy padded kernel — no per-SpMV
+            # pad/unpad (measured 0.39 -> 0.33 ms per 150³ L0 SpMV).
+            pad_n_al = (
+                _padded_layout_len(self.A_dev, A32_dev, self.precond)
+                if isinstance(self.precond, GridAMG) else None
+            )
 
             @partial(jax.jit, static_argnames=())
             def run(A_dev, A32, levels, rhs, x0):
                 # hoist the Pallas data pads out of the Krylov loop
                 # (XLA has no while-loop LICM; see prepad_pallas)
-                A_dev = prepad_pallas(A_dev)
-                A32 = prepad_pallas(A32)
-                levels = prepad_pallas(levels)
+                A_dev = prepad_pallas(A_dev, pad_n_al)
+                A32 = prepad_pallas(A32, pad_n_al)
+                levels = prepad_pallas(levels, pad_n_al)
+                n = rhs.shape[0]
+                if pad_n_al:
+                    from .precond.amg import pad_level0_relax
+
+                    levels = pad_level0_relax(levels, pad_n_al)
+                    rhs = jnp.pad(rhs, (0, pad_n_al - n))
+                    x0 = jnp.pad(x0, (0, pad_n_al - n))
                 P = lambda r: amg_apply(levels, r, prm)
                 extra = {} if A32 is None else {"A32": A32}
-                return solver_fn(A_dev, P, rhs, x0, **extra, **params)
+                x, info = solver_fn(A_dev, P, rhs, x0, **extra, **params)
+                if pad_n_al:
+                    x = jax.lax.slice(x, (0,), (n,))
+                return x, info
 
             return lambda rhs, x0: run(
                 self.A_dev, A32_dev, self.precond.levels, rhs, x0

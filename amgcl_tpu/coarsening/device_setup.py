@@ -60,8 +60,17 @@ def pmis_ids_device(data, cols, eps2, seed, max_rounds=64):
     Returns (ids, count, strong): ids[i] ∈ [0, count) is i's aggregate,
     or -2 for removed (lonely) nodes; ids are coarse-numbered already.
     Weights are a deterministic seeded hash (reproducible, like the host
-    pmis_aggregates).  Assumes an (approximately) symmetric strength
-    pattern, which smoothed aggregation requires anyway."""
+    pmis_aggregates).
+
+    REQUIRES a structurally symmetric strength pattern: nbr_max takes the
+    distance-2 max over *out*-neighbors only (the in-neighbor scatter-max
+    serializes on TPU; dropping it cut a PMIS round ~2x), and the 1-hop
+    join relies on the same symmetry.  With a nonsymmetric pattern two
+    nodes within distance 2 via in-edges can both root — still a valid
+    aggregation (correctness is unaffected), just coarser-quality.  SA
+    targets symmetric-pattern problems; for genuinely one-sided patterns
+    symmetrize A's pattern (A + A^T) before calling, as the host path's
+    plain aggregation does."""
     K, n = data.shape
     UNDEF = jnp.int32(-1)
     REMOVED = jnp.int32(-2)

@@ -53,11 +53,16 @@ class GridTransfer:
     fine_dims: tuple
     coarse_dims: tuple
 
-    def prolong(self, xc: jax.Array) -> jax.Array:
+    def prolong(self, xc: jax.Array, out_len: int | None = None) -> jax.Array:
+        """``out_len`` > n_fine keeps the result in the caller's padded
+        Krylov layout; padding happens BEFORE the S SpMV so it runs the
+        zero-copy padded kernel."""
         x3 = xc.reshape(self.coarse_dims)
         for ax, (fd, cd) in enumerate(zip(self.fine_dims, self.coarse_dims)):
             x3 = _axis_expand(x3, fd, cd, ax)
         xf = x3.reshape(-1)
+        if out_len is not None and out_len != xf.shape[0]:
+            xf = jnp.pad(xf, (0, out_len - xf.shape[0]))
         if self.S is not None:
             from ..ops.spmv import spmv
             xf = spmv(self.S, xf)
@@ -66,7 +71,13 @@ class GridTransfer:
     def restrict(self, rf: jax.Array) -> jax.Array:
         if self.St is not None:
             from ..ops.spmv import spmv
-            rf = spmv(self.St, rf)
+            rf = spmv(self.St, rf)          # padded-layout aware
+        n_f = int(np.prod(self.fine_dims))
+        if rf.shape[0] != n_f:
+            # leave the padded Krylov layout at the level boundary: the
+            # coarse levels are small enough that exact-length vectors
+            # (and their internal kernel pads) cost nothing
+            rf = jax.lax.slice(rf, (0,), (n_f,))
         x3 = rf.reshape(self.fine_dims)
         for ax, (fd, cd) in enumerate(zip(self.fine_dims, self.coarse_dims)):
             x3 = _axis_fold(x3, fd, cd, ax)

@@ -202,12 +202,18 @@ def pack_sell2(A: sp.csr_matrix, W: int = 128, R: int = 4,
                 nnz=int(A.nnz), G=G)
 
 
-def _fit_R(R, Gp, stream_bytes_per_group, budget=10 * 2**20):
+def _fit_R(R, Gp, stream_bytes_per_group, resident_bytes=0):
     """Largest divisor of ``R`` whose per-program streamed block (data +
     enc, double-buffered by Mosaic) stays under the scoped-VMEM budget
     (XLA's default scoped limit is 16 MiB; dense row classes with large
-    K8 overflow it at R=4).  ``Gp`` is padded to a multiple of R at pack
-    time, so any divisor keeps the grid exact."""
+    K8 overflow it at R=4).  ``resident_bytes`` counts whole-array-
+    resident blocks (the full x2 via its (S_pad, 128) BlockSpec, the
+    window tables, the out tile) that share the same scoped limit — at
+    multi-million columns x2 alone passes several MiB, so it must come
+    out of the streaming budget rather than a fixed slack.  ``Gp`` is
+    padded to a multiple of R at pack time, so any divisor keeps the
+    grid exact."""
+    budget = max(14 * 2**20 - resident_bytes, 2**20)
     r = R
     while r > 1 and 2 * stream_bytes_per_group * r > budget:
         r -= 1
@@ -290,7 +296,11 @@ def sell2_spmv_pallas(meta, x: jax.Array, class_arrays,
     for spec, (data, enc, bases) in zip(meta["classes"], class_arrays):
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
-        Rc = _fit_R(R, Gp, (data.dtype.itemsize + 4) * K8 * 128)
+        Rc = _fit_R(
+            R, Gp, (data.dtype.itemsize + 4) * K8 * 128,
+            resident_bytes=x2.nbytes + bases.nbytes
+            + R * 128 * jnp.dtype(cdt).itemsize,
+        )
         grid = Gp // Rc
         # Mosaic requires SMEM block sublane dims divisible by 8: carry
         # the window table as (grid, Rp, L) with the per-program rows
@@ -421,7 +431,9 @@ def sell2_df_spmv_pallas(meta, x: jax.Array, class_arrays,
     for spec, (dh, dl, enc, bases) in zip(meta["classes"], class_arrays):
         K8, Gp, Gc, nw = spec["K8"], spec["Gp"], spec["G"], spec["nw"]
         L = bases.shape[1]
-        Rc = _fit_R(R, Gp, 12 * K8 * 128)      # hi + lo + enc streams
+        Rc = _fit_R(R, Gp, 12 * K8 * 128,      # hi + lo + enc streams
+                    resident_bytes=x2.nbytes + bases.nbytes
+                    + 2 * R * 128 * 4)
         grid = Gp // Rc
         # see sell2_spmv_pallas: SMEM sublane dims must be multiples of 8
         Rp = -(-Rc // 8) * 8

@@ -92,6 +92,22 @@ def spmv(A, x: jax.Array) -> jax.Array:
     (amgcl/backend/interface.hpp:434-443).
     """
     if isinstance(A, DiaMatrix):
+        if x.shape[0] != A.shape[1] and A.shape[0] == A.shape[1]:
+            # persistent padded-vector layout (len = common tile multiple,
+            # zeros beyond row n): zero-copy kernel on TPU; on CPU the
+            # layout is preserved by slice/compute/pad (tests + fallback)
+            if (
+                _pallas_ok()
+                and A.data.dtype in (jnp.float32, jnp.bfloat16)
+            ):
+                from .pallas_spmv import spmv_dia_padded
+
+                return spmv_dia_padded(A, x)
+            # f64 outer operators (refine's defect correction, ~2 per
+            # OUTER pass) and CPU: slice/compute/pad preserves the layout
+            n = A.shape[0]
+            y = _spmv_dia(A, x[:n])
+            return jnp.pad(y, (0, x.shape[0] - n))
         if _use_pallas(A, x):
             from .pallas_spmv import spmv_dia_pallas
 

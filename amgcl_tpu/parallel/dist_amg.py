@@ -208,6 +208,18 @@ def _relax_apply(state, A: DistDia, rhs, x=None):
             p = alpha * r + beta * p
             x = x + p
         return x
+    from ..relaxation.ilu0 import ILUState, ilu_tri_solve
+
+    if isinstance(state, ILUState):
+        # Local-block ILU0 (the reference's MPI relaxation model: each
+        # rank's smoother acts on its local diagonal block — block-Jacobi
+        # between shards, ILU within; amgcl/mpi/relaxation/*.hpp).  The
+        # residual rides the distributed operator; the triangular solves
+        # are shard-local (L/U hold local column ids only).
+        if x is None:
+            return state.damping * ilu_tri_solve(state, rhs)
+        r = rhs - dist_spmv(A, x)
+        return x + state.damping * ilu_tri_solve(state, r)
     raise TypeError(type(state))
 
 

@@ -379,6 +379,7 @@ def _transpose_shard(P_data, P_cols, coffs, offs_fine, cnt_fine, *,
 def _relax_shard(data, cols, offs, cnt, *, relaxation, nlocp, axis):
     from ..relaxation.spai0 import SPAI0, SPAI0State
     from ..relaxation.damped_jacobi import DampedJacobi, JacobiState
+    from ..relaxation.chebyshev import Chebyshev, ChebyshevState
 
     data, cols = data[0], cols[0]
     my = jax.lax.axis_index(axis).astype(jnp.int32)
@@ -401,9 +402,109 @@ def _relax_shard(data, cols, offs, cnt, *, relaxation, nlocp, axis):
             inv_dia=jnp.where(alive, inv, 0.0)[None],
             damping=jnp.full((1, 1), relaxation.damping, data.dtype),
         )
+    if isinstance(relaxation, Chebyshev):
+        # spectral radius by the distributed Gershgorin bound: local max
+        # abs row sum (of D^{-1}A when scale) + one pmax — the sharded
+        # mirror of the serial setup's bound (mpi spectral_radius role,
+        # mpi/distributed_matrix.hpp:1109).
+        absrow = jnp.sum(jnp.abs(jnp.where(valid, data, 0.0)), axis=0)
+        inv = jnp.where(dia != 0, 1.0 / jnp.where(dia == 0, 1.0, dia),
+                        1.0)
+        if relaxation.scale:
+            absrow = absrow * jnp.abs(inv)
+        rho = jax.lax.pmax(
+            jnp.max(jnp.where(alive, absrow, 0.0)), axis
+        )
+        lo = rho * relaxation.lower
+        hi = rho * relaxation.higher
+        return ChebyshevState(
+            c=jnp.full((1, 1), 0.0, data.dtype) + 0.5 * (hi - lo),
+            d=jnp.full((1, 1), 0.0, data.dtype) + 0.5 * (hi + lo),
+            inv_dia=(
+                jnp.where(alive, inv, 0.0)[None] if relaxation.scale
+                else jnp.ones((1, 1), data.dtype)
+            ),
+            degree=relaxation.degree,
+            scale=relaxation.scale,
+        )
     raise ValueError(
-        "sharded general setup supports SPAI0/DampedJacobi smoothing "
-        f"(row-local states); got {type(relaxation).__name__}"
+        "sharded general setup supports SPAI0/DampedJacobi/Chebyshev "
+        "device smoothing (plus local-block ILU0 at the finest level "
+        f"via from_parts); got {type(relaxation).__name__}"
+    )
+
+
+def _stack_local_ilu(parts, offs, nlocp, relaxation, dtype):
+    """Per-shard local-diagonal-block ILU(0) states stacked for shard_map
+    — the reference's MPI relaxation model (each rank re-instantiates the
+    smoother on its local block, amgcl/mpi/relaxation/*.hpp): ILU between
+    shards degrades to block-Jacobi, exactly as there.  Factors hold
+    LOCAL column ids, so the triangular solves never leave the shard."""
+    from ..ops.formats import SparseMatrix
+    from ..relaxation.ilu0 import ILU0, ILUState, ilu0_factor_host
+    from ..relaxation.ilu0_chow_patel import (
+        ILU0ChowPatel, chow_patel_factor_host,
+    )
+
+    per = []
+    for s, p in enumerate(parts):
+        n_s = p.shape[0]
+        if n_s == 0:
+            per.append((None, None, np.zeros(0)))
+            continue
+        A_loc = sp.csr_matrix(p[:, offs[s]:offs[s] + n_s])
+        A_loc.sort_indices()
+        if isinstance(relaxation, ILU0ChowPatel):
+            L, U_strict, inv = chow_patel_factor_host(
+                A_loc, relaxation.sweeps
+            )
+        else:
+            L, U = ilu0_factor_host(A_loc)
+            d = U.diagonal()
+            U_strict = sp.triu(U, k=1, format="csr")
+            inv = np.where(d != 0, 1.0 / np.where(d == 0, 1.0, d), 1.0)
+        per.append((sp.csr_matrix(L), sp.csr_matrix(U_strict), inv))
+
+    def width(M):
+        return int(np.diff(M.indptr).max(initial=0)) if M is not None else 0
+
+    KL = _round8(max(max((width(L) for L, _, _ in per), default=1), 1))
+    KU = _round8(max(max((width(U) for _, U, _ in per), default=1), 1))
+
+    def ell(M, K):
+        d = np.zeros((K, nlocp))
+        c = np.zeros((K, nlocp), np.int32)
+        if M is not None and M.nnz:
+            cnt_r = np.diff(M.indptr)
+            r = np.repeat(np.arange(M.shape[0]), cnt_r)
+            o = np.arange(M.nnz) - np.repeat(M.indptr[:-1], cnt_r)
+            d[o, r] = M.data
+            c[o, r] = M.indices
+        return d, c
+
+    Ld, Lc, Ud, Uc, iv = [], [], [], [], []
+    for L, U, inv in per:
+        dL, cL = ell(L, KL)
+        dU, cU = ell(U, KU)
+        Ld.append(dL); Lc.append(cL); Ud.append(dU); Uc.append(cU)
+        iv.append(np.pad(inv, (0, nlocp - len(inv))))
+    S = len(parts)
+    nnz = max(int(sum(L.nnz for L, _, _ in per if L is not None)), 1)
+
+    def mat(d, c, nnz_):
+        return SparseMatrix(
+            data=jnp.asarray(np.stack(d), dtype=dtype)[:, :, None, None, :],
+            cols=jnp.asarray(np.stack(c)),
+            shape=(nlocp, nlocp), block=1, nnz=nnz_,
+        )
+
+    return ILUState(
+        L=mat(Ld, Lc, nnz),
+        U=mat(Ud, Uc, nnz),
+        inv_dia=jnp.asarray(np.stack(iv), dtype=dtype),
+        damping=jnp.full((S, 1), relaxation.damping, dtype),
+        jacobi_iters=relaxation.jacobi_iters,
+        block=1,
     )
 
 
@@ -550,12 +651,24 @@ class ShardedGeneralAMG:
             o = np.arange(p.nnz) - np.repeat(p.indptr[:-1], cnt_r)
             data[s, o, r] = p.data
             cols[s, o, r] = p.indices
+        relaxation = relaxation or rlx.SPAI0()
+        l0_relax = None
+        if isinstance(relaxation, (rlx.ILU0, rlx.ILU0ChowPatel)):
+            # Local-block ILU0 at the finest level (host factorization of
+            # each shard's diagonal block — the reference's MPI model);
+            # coarser levels smooth with SPAI0 (their operators exist only
+            # on device, and ILU's sequential factorization would force
+            # an nnz-sized device→host pull).
+            l0_relax = _stack_local_ilu(parts, offs, nlocp, relaxation,
+                                        dtype)
+            relaxation = rlx.SPAI0()
         return ShardedGeneralAMG._build(
             jnp.asarray(data, dtype=dtype), jnp.asarray(cols),
             jnp.asarray(offs), jnp.asarray(counts), n_true, mesh, axis,
-            relaxation or rlx.SPAI0(), params or AMGParams(),
+            relaxation, params or AMGParams(),
             eps_strong, relax_factor, seed, dtype, min_loc,
             data_hi=jnp.asarray(data),   # input-precision L0 (outer op)
+            l0_relax=l0_relax,
         )
 
     @staticmethod
@@ -572,7 +685,7 @@ class ShardedGeneralAMG:
     @staticmethod
     def _build(data, cols, offs, cnt, n_true, mesh, axis, relaxation,
                prm, eps_strong, relax_factor, seed, dtype, min_loc,
-               data_hi=None):
+               data_hi=None, l0_relax=None):
         S = mesh.shape[axis]
         stats = {"retries": 0, "levels": []}
         sm = partial(jax.shard_map, mesh=mesh, check_vma=False)
@@ -705,13 +818,16 @@ class ShardedGeneralAMG:
                 stats["retries"] += 1
                 kr = _round8(km)
 
-            rx = jax.jit(sm(
-                partial(_relax_shard, relaxation=relaxation,
-                        nlocp=nlocp, axis=axis),
-                in_specs=(Pa, Pa, Pr, Pr),
-                out_specs=Pa,
-            ))
-            relax = rx(data, cols, offs, cnt)
+            if l0_relax is not None and not dist_levels:
+                relax = l0_relax       # prebuilt local-block ILU0 states
+            else:
+                rx = jax.jit(sm(
+                    partial(_relax_shard, relaxation=relaxation,
+                            nlocp=nlocp, axis=axis),
+                    in_specs=(Pa, Pa, Pr, Pr),
+                    out_specs=Pa,
+                ))
+                relax = rx(data, cols, offs, cnt)
 
             dist_levels.append(_wrap_level(
                 data, cols, P_d, P_c, R_d, R_c, relax,

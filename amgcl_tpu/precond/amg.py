@@ -39,9 +39,9 @@ from ..coarsening.smoothed_aggregation import SmoothedAggregation
 from ..coarsening.grid_aggregation import GridTransfer
 
 
-def _prolong(P, x):
+def _prolong(P, x, out_len=None):
     if isinstance(P, GridTransfer):
-        return P.prolong(x)
+        return P.prolong(x, out_len=out_len)
     return spmv(P, x)
 
 
@@ -115,6 +115,18 @@ class AMG:
             block > 1
             and getattr(self.coarsening, "block_size", None) == 1
         ):
+            if coarsening is not None:
+                # The dataclass default (1) is indistinguishable from an
+                # explicit user choice of 1; warn so a deliberately scalar
+                # coarsening on a block solver is visible, not silent.
+                import warnings
+
+                warnings.warn(
+                    f"amg: inheriting solver block_size={block} onto the "
+                    f"user coarsening (was 1); pass block_size={block} "
+                    f"explicitly to silence, or use as_scalar for scalar "
+                    f"coarsening on a block solver"
+                )
             self.coarsening.block_size = block
         self.relaxation = relaxation or rlx.SPAI0()
         A = sp.csr_matrix(A)
@@ -288,9 +300,39 @@ def _cycle(levels, i, rhs, prm: AMGParams):
         t = rhs - spmv(lvl.A, x)
         rc = _restrict(lvl.R, t)
         xc = _cycle(levels, i + 1, rc, prm)
-        x = x + _prolong(lvl.P, xc)
+        # out_len keeps the correction in rhs's (possibly padded) layout
+        x = x + _prolong(lvl.P, xc, out_len=rhs.shape[0])
         x = _relax_steps(lvl, rhs, x, prm.npost, post=True)
     return x
+
+
+def pad_level0_relax(levels, n_al: int):
+    """Zero-pad level-0 per-element smoother arrays to the padded-vector
+    Krylov length (once per solve call, at the top of the jitted run —
+    inside the loop the pad would re-copy every sweep).  Zero padding
+    keeps the layout invariant: pad lanes of every vector stay zero."""
+    from ..relaxation.spai0 import SPAI0State
+    from ..relaxation.damped_jacobi import JacobiState
+    from ..relaxation.chebyshev import ChebyshevState
+
+    l0 = levels[0]
+    st = l0.relax
+
+    def padv(v):
+        return (
+            jnp.pad(v, (0, n_al - v.shape[0]))
+            if v.ndim == 1 and 1 < v.shape[0] < n_al else v
+        )
+
+    if isinstance(st, SPAI0State):
+        st = dataclasses.replace(st, m=padv(st.m))
+    elif isinstance(st, JacobiState):
+        st = dataclasses.replace(st, inv_dia=padv(st.inv_dia))
+    elif isinstance(st, ChebyshevState):
+        st = dataclasses.replace(st, inv_dia=padv(st.inv_dia))
+    else:
+        return levels
+    return (dataclasses.replace(l0, relax=st),) + tuple(levels[1:])
 
 
 def amg_cycle(levels, rhs, prm: AMGParams):

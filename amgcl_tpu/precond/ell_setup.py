@@ -128,6 +128,18 @@ def _merge_partial_ell(parts, nc, kc):
         if len(parts) % 2:
             nxt.append(parts[-1])
         parts = nxt
+        # Once any merge truncated (km > kc) the final result will be
+        # discarded and the caller retries at a wider kc — stop burning
+        # the remaining merges.  One scalar fetch per tree level (log2
+        # chunks), after that level's independent merges all dispatched.
+        # Only in eager callers: under a trace (dist_setup's shard_map)
+        # kmax is abstract and the tree must run to completion.
+        if (
+            len(parts) > 1
+            and not isinstance(kmax, jax.core.Tracer)
+            and int(kmax) > kc
+        ):
+            return parts[0][0], parts[0][1], kmax, nnz
     d_, c_ = parts[0]
     if kmax is None:                       # single part: width known good
         kmax = jnp.asarray(kc, jnp.int32)
@@ -475,7 +487,11 @@ def build_ell_hierarchy(
 
 class DeviceGeneralAMG:
     """AMG with the general (PMIS + sort-RAP) hierarchy built on-device —
-    the unstructured counterpart of GridAMG."""
+    the unstructured counterpart of GridAMG.
+
+    The device PMIS assumes a structurally symmetric sparsity pattern
+    (see coarsening.device_setup.pmis_ids_device); for one-sided patterns
+    pre-symmetrize (A + A^T pattern) or use the host setup path."""
 
     def __init__(
         self,

@@ -75,6 +75,10 @@ class GaussSeidelState:
 @dataclasses.dataclass
 class GaussSeidel:
     serial: bool = False  # kept for param parity; sweeps are always colored
+    # Above this many colors a level degrades to damped Jacobi (hundreds of
+    # tiny sequential device steps smooth worse than one Jacobi sweep).
+    # Raise (or set to a large value) to force true multicolor GS anywhere.
+    max_colors: int = 64
 
     def setup(self, A_host: sp.csr_matrix, A_dev: SparseMatrix) -> GaussSeidelState:
         b = A_dev.block
@@ -87,7 +91,7 @@ class GaussSeidel:
             colors = color_graph(pointwise_matrix(A_host, b))
 
         ncolors = int(colors.max()) + 1
-        if ncolors > 64:
+        if ncolors > self.max_colors:
             # Near-dense levels (e.g. a nullspace-smoothed coarse RAP)
             # color into hundreds of parts — hundreds of tiny sequential
             # device steps smooth worse than one Jacobi sweep.  Degrade

@@ -25,8 +25,8 @@ def hierarchy_report(amg) -> str:
     lines.append(f"Operator complexity: {sum_nnz / max(nnz0, 1):.2f}")
     lines.append(f"Grid complexity:     {sum_rows / max(rows0, 1):.2f}")
     lines.append("")
-    lines.append("level     unknowns       nonzeros      memory")
-    lines.append("---------------------------------------------")
+    lines.append("level     unknowns       nonzeros      memory  smoother")
+    lines.append("--------------------------------------------------------")
     for i, l in enumerate(levels):
         mem = l.A.nbytes
         if l.P is not None:
@@ -34,9 +34,15 @@ def hierarchy_report(amg) -> str:
         if l.coarse_inv is not None:
             mem += l.coarse_inv.size * l.coarse_inv.dtype.itemsize
         frac = 100.0 * l.A.nnz / max(sum_nnz, 1)
+        # Per-level smoother state type: makes silent per-level
+        # substitutions (e.g. GS degrading to Jacobi on a >max_colors
+        # level) visible in the report, not just in a warning.
+        relax = getattr(l, "relax", None)
+        sm = type(relax).__name__.removesuffix("State") if relax is not None \
+            else ("direct" if l.coarse_inv is not None else "-")
         lines.append(
             f"{i:5d} {l.A.shape[0]:12d} {l.A.nnz:14d} {_human_bytes(mem)}"
-            f" ({frac:5.2f}%)"
+            f" ({frac:5.2f}%)  {sm}"
         )
     return "\n".join(lines)
 

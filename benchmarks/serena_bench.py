@@ -63,17 +63,28 @@ def main():
     from amgcl_tpu.coarsening.smoothed_aggregation import SmoothedAggregation
     from amgcl_tpu.coarsening import rigid_body_modes
 
-    # rigid-body-mode near-nullspace (the reference's nullspace tutorial
-    # machinery, coarsening/rigid_body_modes.hpp) — measured 233 vs 281
-    # total inner iterations at 90k dof over plain SA for this problem
+    # Config search (benchmarks/exp_serena_convergence.py, 90k dof, CPU;
+    # oracle = the actual reference compiled against this same matrix
+    # with its winning Serena config = 312 iters at 90k / 347 at 1M):
+    #   refine + RBM + eps 0.08 (r04 bench config):   233 inner iters
+    #   straight mixed CG + RBM + eps 0.08:           130
+    #   straight mixed CG + RBM + eps 0.04:           113  <- winner
+    # RBM near-nullspace (reference: coarsening/rigid_body_modes.hpp) +
+    # a tighter strength threshold beat the oracle ~2.8x; the defect-
+    # correction driver loses ~80% extra inner iterations to restarts,
+    # so the Serena-class headline uses the reference's own architecture:
+    # f64 Krylov (double-f32 SELL SpMV) + f32 block hierarchy.
     rbm = rigid_body_modes(3, coords)
     configs = (
-        # mixed precision (the reference's winning Serena config class):
-        # f32 block hierarchy + inner CG, f64 defect correction
+        ("cg_mixed_rbm_1e-8", dict(
+            solver="cg", tol=1e-8, maxiter=500,
+            coarsening=SmoothedAggregation(nullspace=rbm, eps_strong=0.04),
+        )),
+        # mixed precision via defect correction (kept for comparison)
         ("refine_block_1e-8", dict(
             solver="refine", tol=1e-8, maxiter=25, inner="cg",
-            inner_tol=1e-4, inner_maxiter=100,
-            coarsening=SmoothedAggregation(nullspace=rbm),
+            inner_tol=1e-4, inner_maxiter=200,
+            coarsening=SmoothedAggregation(nullspace=rbm, eps_strong=0.04),
         )),
     )
     for label, kw in configs:
@@ -104,8 +115,9 @@ def main():
         }))
         print(f"# {label}: iters={iters} rel={rel:.2e} setup={setup_s:.1f}s"
               f" solve={solve_s:.4f}s L0={fmt} "
-              "(baseline: Serena mixed CPU solve 29.4s @ 162 iters, "
-              "GPU 6.42s)", file=sys.stderr)
+              "(baseline: Serena mixed CPU solve 29.4s @ 162 iters / "
+              "setup 1.01s, GPU 6.42s; oracle on THIS matrix: "
+              "347 iters at 1.03M dof)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ def test_level0_roundtrip(problem, sharded):
     A, _ = problem
     back = sharded.level0_compact()
     d = (back - A).tocoo()
-    assert abs(d.data).max() if d.nnz else 0 < 1e-12
+    assert (abs(d.data).max() if d.nnz else 0) < 1e-12
 
 
 def test_aggregate_counts_match_serial(sharded, serial):
@@ -196,3 +196,39 @@ def test_from_parts_entry(problem):
     run = sh.make_solver(tol=1e-8, maxiter=100)
     x, iters, rel = run(b)
     assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+
+
+def test_chebyshev_relaxation(problem):
+    """Sharded Chebyshev smoother states (distributed Gershgorin bound +
+    the distributed three-term sweep)."""
+    A, b = problem
+    sh = ShardedGeneralAMG.from_global(
+        A, S, params=PRM, min_loc=16, dtype=jnp.float64,
+        relaxation=rlx.Chebyshev(degree=3),
+    )
+    run = sh.make_solver(tol=1e-8, maxiter=200)
+    x, iters, rel = run(b)
+    r = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert r < 1e-7
+
+
+def test_ilu0_local_block_relaxation(problem):
+    """Local-diagonal-block ILU0 at the finest level (the reference's MPI
+    relaxation model, amgcl/mpi/relaxation/ilu0.hpp): block-Jacobi between
+    shards, ILU0 within — converges, and in fewer iterations than plain
+    SPAI0 on the same hierarchy."""
+    A, b = problem
+    sh = ShardedGeneralAMG.from_global(
+        A, S, params=PRM, min_loc=16, dtype=jnp.float64,
+        relaxation=rlx.ILU0(),
+    )
+    run = sh.make_solver(tol=1e-8, maxiter=200)
+    x, iters, rel = run(b)
+    r = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert r < 1e-7
+
+    base = ShardedGeneralAMG.from_global(
+        A, S, params=PRM, min_loc=16, dtype=jnp.float64,
+    )
+    xb, iters_b, _ = base.make_solver(tol=1e-8, maxiter=200)(b)
+    assert int(iters) <= int(iters_b)

@@ -98,3 +98,63 @@ def test_prehalo_viability_guard():
     assert prehalo_viable(7, 22528)          # the 150-cube slab case
     assert not prehalo_viable(7, 3_000_000)  # plane bigger than VMEM
     assert not prehalo_viable(400, 128)      # too many diagonals
+
+
+@pytest.mark.parametrize("n,tile", [(12, 512), (10, 256)])
+def test_pallas_dia_padded_matches(n, tile):
+    """The padded-layout kernel (persistent tile-multiple vectors, zero
+    guard zones instead of per-call pad/unpad copies) matches the plain
+    SpMV on the live region and keeps the pad region zero."""
+    from amgcl_tpu.ops.pallas_spmv import spmv_dia_padded
+
+    A, _ = poisson3d(n)
+    D = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    N = A.shape[0]
+    n_al = -(-N // tile) * tile
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(N), jnp.float32
+    )
+    xp = jnp.pad(x, (0, n_al - N))
+    y = spmv_dia_padded(D, xp, tile=tile, interpret=True)
+    assert y.shape == (n_al,)
+    np.testing.assert_allclose(
+        np.asarray(y[:N]), np.asarray(spmv(D, x)), rtol=1e-6, atol=1e-6
+    )
+    assert np.all(np.asarray(y[N:]) == 0.0)
+
+
+def test_pallas_dia_padded_wide_offsets():
+    """2D Poisson (wide halo, several tiles) through the padded kernel."""
+    from amgcl_tpu.ops.pallas_spmv import spmv_dia_padded
+
+    A, _ = poisson2d(40)
+    D = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    N = A.shape[0]
+    tile = 256
+    n_al = -(-N // tile) * tile
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal(N), jnp.float32
+    )
+    xp = jnp.pad(x, (0, n_al - N))
+    y = spmv_dia_padded(D, xp, tile=tile, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y[:N]), np.asarray(spmv(D, x)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_padded_layout_spmv_dispatch_cpu():
+    """spmv() on a padded vector preserves the layout (CPU fallback
+    slice/compute/pad — the plumbing the grid solve rides in tests)."""
+    A, _ = poisson3d(8)
+    D = DiaMatrix.from_scipy(A, dtype=jnp.float32)
+    N = A.shape[0]
+    x = jnp.asarray(
+        np.random.default_rng(4).standard_normal(N), jnp.float32
+    )
+    xp = jnp.pad(x, (0, 1024 - N))
+    y = spmv(D, xp)
+    assert y.shape == xp.shape
+    np.testing.assert_allclose(
+        np.asarray(y[:N]), np.asarray(spmv(D, x)), rtol=1e-6, atol=1e-6
+    )
+    assert np.all(np.asarray(y[N:]) == 0.0)
