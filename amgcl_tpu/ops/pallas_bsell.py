@@ -163,10 +163,14 @@ def bsell_spmv_pallas(meta, x: jax.Array, class_arrays,
         L = bases.shape[1]
         # dense block-row classes overflow the 16 MiB scoped-VMEM limit
         # at R=4 (data block is b*b*K8 sublanes tall) — shrink R per
-        # class until the double-buffered streams fit
+        # class until the double-buffered streams fit alongside the
+        # whole-array residents (x2 is b planes of S_pad·128 f32: several
+        # MiB at Serena scale — the 1M-dof run OOMed without this)
         Rc = _fit_R(
             R, Gp,
             (data.dtype.itemsize * b * b + 4) * K8 * 128,
+            resident_bytes=x2.nbytes + bases.nbytes
+            + b * R * 128 * jnp.dtype(cdt).itemsize,
         )
         grid = Gp // Rc
         # Mosaic requires SMEM block sublane dims divisible by 8 (or

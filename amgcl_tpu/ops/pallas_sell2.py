@@ -93,15 +93,26 @@ def _segment_classes(K8_g, NW_gb, R, max_classes):
 
 
 def pack_sell2(A: sp.csr_matrix, W: int = 128, R: int = 4,
-               max_classes: int = 6, nw_cap: int = 64):
+               max_classes: int = 6, nw_cap: int = 64,
+               k8_cap: int = 512, l_cap: int = 384):
     """Pack a CSR matrix into the classed SELL v2 layout.
 
     Returns None when any row-group band needs more than ``nw_cap``
-    windows (caller falls back), else a dict:
+    windows, when any row is wider than ``k8_cap``, or when a class's
+    total window count exceeds ``l_cap`` (caller falls back), else a
+    dict:
       classes: list of per-class dicts with
          data (K8_c, Gp_c*128) f64, enc (K8_c, Gp_c*128) i32,
          bases (Gp_c, L_c) i32, nw (tuple per band), g0, G_c (un-padded)
       n, m, S_pad, W, R, nnz.
+
+    The k8/l caps bound the *generated kernel*, not just VMEM: the band
+    and window loops are fully unrolled (that is what makes the kernel
+    fast), so a pathologically dense class — e.g. the coarse operator
+    of a 6-column-nullspace hierarchy, K≈1300 / ~4900 windows — would
+    unroll to a ~90 MB Mosaic program that blows the scoped-VMEM stack
+    and takes an hour to compile.  Such operators take the dynamic-loop
+    v1 kernel or hybrid ELL instead (ops/formats.py fallback chain).
     """
     A = sp.csr_matrix(A)
     A.sort_indices()
@@ -114,6 +125,8 @@ def pack_sell2(A: sp.csr_matrix, W: int = 128, R: int = 4,
     R = max(1, min(R, G))
     n_pad = G * 128
     Kmax = max(int(counts.max()), 1)
+    if Kmax > k8_cap:
+        return None            # before the (n, K8max) staging allocs
     K8max = -(-Kmax // 8) * 8
     Bmax = K8max // 8
 
@@ -164,6 +177,8 @@ def pack_sell2(A: sp.csr_matrix, W: int = 128, R: int = 4,
         Bc = K8c // 8
         nw = tuple(int(NW_gb[g0:g1, b].max()) for b in range(Bc))
         L = max(sum(nw), 1)
+        if L > l_cap:
+            return None        # unrolled-kernel size cap (see docstring)
         off = np.concatenate([[0], np.cumsum(nw)]).astype(np.int64)
 
         data_c = np.zeros((K8c, Gp * 128), dtype=np.float64)

@@ -11,10 +11,14 @@ every setup stage runs under `shard_map`:
 
 * **PMIS aggregation** — the same jittable scatter-max rounds as the
   serial device setup (coarsening/device_setup.py::pmis_ids_device),
-  with neighbour values exchanged through `all_gather`/`pmax` of
-  *vector-sized* buffers (never a matrix).  Weights are a hash of the
-  compact global index, so the sharded sweep reproduces the serial
-  aggregation bit-for-bit.
+  with neighbour values exchanged through windowed slab `ppermute`s
+  sized by the measured column reach (`_reach_shard` pre-pass): every
+  gather reads a (2W+1)-slab window and every scatter-max folds 2W
+  overlap slabs back to their owners — per-shard traffic and memory
+  O(n/S + halo), the SPMD dual of the reference's neighbour-sparse
+  comm_pattern (mpi/distributed_matrix.hpp:93-184).  Weights are a
+  hash of the compact global index, so the sharded sweep reproduces
+  the serial aggregation bit-for-bit.
 * **Smoothed prolongation** — row-local given the gathered aggregate-id
   vector.
 * **AP** — A's column window of P's rows is satisfied by two contiguous
@@ -91,10 +95,6 @@ def _w_of(idx, seed):
     return w + 1
 
 
-def _myslab(v, my, nlocp):
-    return jax.lax.dynamic_slice(v, (my * nlocp,), (nlocp,))
-
-
 def _shift_perm(ndev, h):
     """ppermute pairs moving data h shards to the right (negative h:
     left); edge shards receive zeros."""
@@ -118,16 +118,122 @@ def _exchange_last(a, W, axis):
     return jnp.concatenate(lefts + [a] + rights, axis=1)
 
 
+def _win_vec(v, W, axis):
+    """Windowed neighbour exchange of a per-shard vector: returns the
+    (2W+1)·n window [W left slabs | v | W right slabs].  Replaces a
+    full-length all_gather with O(W·n/S) traffic; indexing is
+    ``win[pidx - (my-W)*n]``."""
+    return _exchange_last(v[None, :], W, axis)[0]
+
+
+def _scatter_max_win(jwin, vals, W, nloc, axis, dtype):
+    """Scatter-max ``vals`` at window positions ``jwin`` into the owning
+    shards' local slabs: each shard builds its (2W+1)-slab window buffer,
+    the 2W overlap slabs ppermute to their owners, and owners fold them
+    in with elementwise max — the windowed dual of the all_gather+pmax
+    scatter (per-shard traffic O(W·n/S), not O(n))."""
+    ndev = jax.lax.axis_size(axis)
+    nwin = (2 * W + 1) * nloc
+    buf = jnp.zeros(nwin, dtype).at[jwin.reshape(-1)].max(vals.reshape(-1))
+    out = buf[W * nloc:(W + 1) * nloc]
+    for h in range(1, W + 1):
+        # my slab (W-h) holds contributions to shard my-h -> ship left
+        sl = buf[(W - h) * nloc:(W - h + 1) * nloc]
+        out = jnp.maximum(
+            out, jax.lax.ppermute(sl, axis, _shift_perm(ndev, -h))
+        )
+        sr = buf[(W + h) * nloc:(W + h + 1) * nloc]
+        out = jnp.maximum(
+            out, jax.lax.ppermute(sr, axis, _shift_perm(ndev, h))
+        )
+    return out
+
+
+def _condense_shard(data, cols, cnt, *, b, kb, nlocp, axis):
+    """Per-shard block-Frobenius condensation: scalar ELL rows (K, nlocp)
+    -> block ELL (kb, nlocp//b) whose entry (I, J) is ||A_IJ||_F over the
+    b×b block — the pointwise compression the reference's MPI PMIS uses
+    for block systems (mpi/coarsening/pmis.hpp:50,103+).  Row-local: no
+    exchange (every scalar entry of block row I lives in my slab)."""
+    data, cols = data[0], cols[0]
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    nlocb = nlocp // b
+    li = jnp.arange(nlocp, dtype=jnp.int32)
+    alive = li < cnt[my]
+    valid = (data != 0) & alive[None, :]
+    rows_b = jnp.broadcast_to((li // b)[None, :], cols.shape)
+    cols_b = cols // b
+    v2 = jnp.where(valid, data * data, 0.0)
+    d, c, kmax, _ = _terms_to_ell(
+        rows_b.reshape(-1), cols_b.reshape(-1), v2.reshape(-1),
+        nlocb, kb,
+    )
+    return jnp.sqrt(d)[None], c[None], kmax[None]
+
+
+def _block_strong_shard(data, cols, C_cols, strong_b, offs, cnt, *,
+                        b, nlocp, axis):
+    """Scalar-entry strength mask from the per-shard block strength
+    pattern (the sharded mirror of device_setup.block_strong_scalar): a
+    scalar off-diagonal entry is kept iff its enclosing block (I, J) is
+    a strong block connection or lies on the block diagonal."""
+    data, cols, C_cols, strong_b = (
+        data[0], cols[0], C_cols[0], strong_b[0]
+    )
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    li = jnp.arange(nlocp, dtype=jnp.int32)
+    alive = li < cnt[my]
+    gidx = offs[my] + li
+    I_b = gidx // b                                      # (nlocp,) global
+    Cc_exp = jnp.repeat(C_cols, b, axis=1)               # (Kb, nlocp)
+    Sb_exp = jnp.repeat(strong_b, b, axis=1)
+    Jb = cols // b                                       # (K, nlocp)
+
+    def one(jrow):
+        return jnp.any((Cc_exp == jrow[None, :]) & Sb_exp, axis=0)
+
+    strongJ = jax.lax.map(one, Jb)
+    intra = Jb == I_b[None, :]
+    off = cols != gidx[None, :]
+    out = (strongJ | intra) & off & (data != 0) & alive[None, :]
+    return out[None]
+
+
+def _reach_shard(data, cols, offs, cnt, *, nlocp, axis):
+    """Pre-pass: max distance (in padded rows) any of my structural
+    column references travels outside my slab — measured before PMIS so
+    the window width is static in the traced setup programs."""
+    data, cols = data[0], cols[0]
+    my = jax.lax.axis_index(axis).astype(jnp.int32)
+    li = jnp.arange(nlocp, dtype=jnp.int32)
+    alive = li < cnt[my]
+    valid = (data != 0) & alive[None, :]
+    pc = _pidx(cols, offs, nlocp)
+    lo = my * nlocp
+    hi = lo + nlocp
+    reach = jnp.where(valid, jnp.maximum(lo - pc, pc - hi + 1), 0)
+    return jnp.maximum(jnp.max(reach), 0)[None]
+
+
 # ----------------------------------------------------------------------
 # stage A: sharded PMIS (+ column-reach measurement)
 # ----------------------------------------------------------------------
 
 def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
-                max_rounds=64):
-    """Per-shard body: returns (ids_coarse, my_count, strong, halo_need,
-    undecided_after).  ids are compact global *coarse* numbers (serial
-    ordering), -2 for removed/dead rows."""
+                W, max_rounds=64):
+    """Per-shard body: returns (ids_coarse, my_count, strong, halo_need).
+    ids are compact global *coarse* numbers (serial ordering), -2 for
+    removed/dead rows.
+
+    All neighbour traffic is windowed (``W`` whole-slab hops each way,
+    measured by the `_reach_shard` pre-pass): gathers read a
+    (2W+1)-slab window, scatters fold 2W overlap slabs back with
+    `_scatter_max_win` — per-shard traffic O(W·n/S + halo), the SPMD
+    mirror of the reference's neighbour-sparse comm_pattern
+    (amgcl/mpi/distributed_matrix.hpp:93-184), not O(n).  W = S-1
+    covers every shard, so any measured reach stays exact."""
     data, cols = data[0], cols[0]
+    ndev = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis).astype(jnp.int32)
     li = jnp.arange(nlocp, dtype=jnp.int32)
     alive = li < cnt[my]
@@ -136,14 +242,20 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
     pc = _pidx(cols, offs, nlocp)
     pc = jnp.where(valid, pc, 0)
 
+    # window coordinates: padded-global position -> offset in my
+    # (2W+1)-slab window (clipped; only `valid`/`strong` slots are read)
+    nwin = (2 * W + 1) * nlocp
+    jw = jnp.clip(pc - (my - W) * nlocp, 0, nwin - 1)
+    jw = jnp.where(valid, jw, 0)
+
     dia = jnp.sum(jnp.where((cols == gidx[None, :]) & valid, data, 0.0),
                   axis=0)
-    dia_pad = jax.lax.all_gather(dia, axis, tiled=True)
+    dia_win = _win_vec(dia, W, axis)
     off_mask = (cols != gidx[None, :]) & valid
     strong = off_mask & (
-        data * data > eps2 * jnp.abs(dia)[None, :] * jnp.abs(dia_pad[pc])
+        data * data > eps2 * jnp.abs(dia)[None, :] * jnp.abs(dia_win[jw])
     )
-    spc = jnp.where(strong, pc, 0)
+    sjw = jnp.where(strong, jw, 0)
 
     # column reach (for the AP halo): how far outside my padded slab do
     # my valid column references go?
@@ -155,12 +267,9 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
     halo_need = jnp.maximum(jnp.max(reach), 0)
 
     has_strong = jnp.any(strong, axis=0)
-    buf = (
-        jnp.zeros(S * nlocp, jnp.int32)
-        .at[spc.reshape(-1)]
-        .max(strong.reshape(-1).astype(jnp.int32))
-    )
-    has_in = _myslab(jax.lax.pmax(buf, axis), my, nlocp) > 0
+    has_in = _scatter_max_win(
+        sjw, strong.astype(jnp.int32), W, nlocp, axis, jnp.int32
+    ) > 0
     live0 = (has_strong | has_in) & alive
     ids0 = jnp.where(live0, _UNDEF, _REMOVED)
 
@@ -168,19 +277,16 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
     w_cols = _w_of(cols, seed)
 
     def nbr_max(key):
-        key_pad = jax.lax.all_gather(key, axis, tiled=True)
-        kj = jnp.where(strong, key_pad[pc], jnp.int64(0))
+        key_win = _win_vec(key, W, axis)
+        kj = jnp.where(strong, key_win[sjw], jnp.int64(0))
         m = jnp.maximum(key, jnp.max(kj, axis=0))
-        sbuf = (
-            jnp.zeros(S * nlocp, jnp.int64)
-            .at[spc.reshape(-1)]
-            .max(jnp.where(
-                strong,
-                jnp.broadcast_to(key[None, :], strong.shape),
-                jnp.int64(0),
-            ).reshape(-1))
-        )
-        m = jnp.maximum(m, _myslab(jax.lax.pmax(sbuf, axis), my, nlocp))
+        m = jnp.maximum(m, _scatter_max_win(
+            sjw,
+            jnp.where(strong,
+                      jnp.broadcast_to(key[None, :], strong.shape),
+                      jnp.int64(0)),
+            W, nlocp, axis, jnp.int64,
+        ))
         return m
 
     def round_(st):
@@ -192,10 +298,9 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
 
         # 1-hop join to the heaviest adjacent root (a root's id is its
         # own index, so no gather is needed for the joined value)
-        root_pad = jax.lax.all_gather(
-            roots.astype(jnp.int8), axis, tiled=True
-        )
-        adj = jnp.where(strong & (root_pad[pc] > 0), w_cols, jnp.int64(0))
+        root_win = _win_vec(roots.astype(jnp.int8), W, axis)
+        adj = jnp.where(strong & (root_win[sjw] > 0), w_cols,
+                        jnp.int64(0))
         best = jnp.max(adj, axis=0)
         arg = jnp.argmax(adj, axis=0)
         join = live & ~roots & (best > 0)
@@ -203,18 +308,19 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
         ids = jnp.where(join, target, ids)
 
         # 2-hop capture: follow a just-joined strong neighbour to its
-        # aggregate (ids gathered after the join update)
-        join_pad = jax.lax.all_gather(join.astype(jnp.int8), axis,
-                                      tiled=True)
-        adj2 = jnp.where(strong & (join_pad[pc] > 0), w_cols,
+        # aggregate (ids windowed after the join update)
+        join_win = _win_vec(join.astype(jnp.int8), W, axis)
+        adj2 = jnp.where(strong & (join_win[sjw] > 0), w_cols,
                          jnp.int64(0))
         best2 = jnp.max(adj2, axis=0)
         arg2 = jnp.argmax(adj2, axis=0)
         join2 = (ids == _UNDEF) & (best2 > 0)
         target2 = cols[arg2, li]
-        ids_pad = jax.lax.all_gather(ids, axis, tiled=True)
-        t2p = _pidx(target2, offs, nlocp)
-        ids = jnp.where(join2, ids_pad[t2p], ids)
+        ids_win = _win_vec(ids, W, axis)
+        t2w = jnp.clip(
+            _pidx(target2, offs, nlocp) - (my - W) * nlocp, 0, nwin - 1
+        )
+        ids = jnp.where(join2, ids_win[t2w], ids)
         return ids, it + 1
 
     def cond(st):
@@ -228,16 +334,23 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
     ids = jnp.where(ids == _UNDEF, gidx, ids)
 
     # renumber roots to compact coarse ids in global fine order (the
-    # serial cumsum order: shard-major + local order == fine order)
+    # serial cumsum order: shard-major + local order == fine order).
+    # My root can sit up to 2 hops of strong edges away (join at 1,
+    # 2-hop capture at 2), so the rank window is 2W slabs wide.
     is_root = alive & (ids == gidx) & (ids >= 0)
     my_count = jnp.sum(is_root.astype(jnp.int32))
-    counts = jax.lax.all_gather(my_count, axis)            # (S,)
+    counts = jax.lax.all_gather(my_count, axis)            # (S,) scalars
     coff = jnp.cumsum(counts) - counts
     lrank = jnp.cumsum(is_root.astype(jnp.int32)) - 1
     cvec = jnp.where(is_root, coff[my] + lrank, -1)
-    c_pad = jax.lax.all_gather(cvec, axis, tiled=True)
-    rootp = _pidx(jnp.maximum(ids, 0), offs, nlocp)
-    ids_c = jnp.where(ids >= 0, c_pad[rootp], ids)
+    W2 = min(2 * W, ndev - 1)          # axis_size is static
+    nwin2 = (2 * W2 + 1) * nlocp
+    c_win = _win_vec(cvec, W2, axis)
+    rootw = jnp.clip(
+        _pidx(jnp.maximum(ids, 0), offs, nlocp) - (my - W2) * nlocp,
+        0, nwin2 - 1,
+    )
+    ids_c = jnp.where(ids >= 0, c_win[rootw], ids)
     return ids_c[None], my_count[None], strong[None], halo_need[None]
 
 
@@ -246,7 +359,7 @@ def _pmis_shard(data, cols, offs, cnt, eps2, seed, *, nlocp, S, axis,
 # ----------------------------------------------------------------------
 
 def _prolong_shard(data, cols, ids_c, strong, offs, cnt, omega, *,
-                   nlocp, axis):
+                   nlocp, axis, W):
     data, cols, ids_c, strong = data[0], cols[0], ids_c[0], strong[0]
     my = jax.lax.axis_index(axis).astype(jnp.int32)
     li = jnp.arange(nlocp, dtype=jnp.int32)
@@ -264,8 +377,13 @@ def _prolong_shard(data, cols, ids_c, strong, offs, cnt, omega, *,
         dia_F != 0, 1.0 / jnp.where(dia_F == 0, 1.0, dia_F), 0.0
     )
 
-    ids_pad = jax.lax.all_gather(ids_c, axis, tiled=True)
-    agg_j = ids_pad[pc]
+    # windowed aggregate-id lookup (neighbour-sparse, like PMIS)
+    nwin = (2 * W + 1) * nlocp
+    jw = jnp.where(
+        valid, jnp.clip(pc - (my - W) * nlocp, 0, nwin - 1), 0
+    )
+    ids_win = _win_vec(ids_c, W, axis)
+    agg_j = ids_win[jw]
     okj = strong & (agg_j >= 0) & (ids_c >= 0)[None, :]
     P_off = jnp.where(okj, -omega * inv_dF[None, :] * data, 0.0)
     Pc_off = jnp.where(okj, agg_j, 0).astype(jnp.int32)
@@ -624,7 +742,8 @@ class ShardedGeneralAMG:
     @staticmethod
     def from_parts(parts, *, mesh=None, axis="shard", relaxation=None,
                    params=None, eps_strong=0.08, relax_factor=1.0,
-                   seed=42, dtype=jnp.float32, min_loc=64):
+                   seed=42, dtype=jnp.float32, min_loc=64,
+                   block_size=1):
         S = len(parts)
         if mesh is None:
             devs = jax.devices()
@@ -632,12 +751,22 @@ class ShardedGeneralAMG:
                 raise ValueError(f"need {S} devices, have {len(devs)}")
             mesh = Mesh(np.array(devs[:S]), (axis,))
         parts = [sp.csr_matrix(p) for p in parts]
+        if block_size > 1:
+            for s, p in enumerate(parts):
+                if p.shape[0] % block_size:
+                    raise ValueError(
+                        f"shard {s} has {p.shape[0]} rows — the row "
+                        f"partition must align to block_size="
+                        f"{block_size} boundaries"
+                    )
         counts = np.array([p.shape[0] for p in parts], dtype=np.int32)
         offs = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
             np.int32
         )
         n_true = int(counts.sum())
         nlocp = max(int(counts.max()), 1)
+        if block_size > 1:
+            nlocp = -(-nlocp // block_size) * block_size
         K = max(
             max((int(np.diff(p.indptr).max(initial=0)) for p in parts),
                 default=1), 1)
@@ -668,15 +797,19 @@ class ShardedGeneralAMG:
             relaxation, params or AMGParams(),
             eps_strong, relax_factor, seed, dtype, min_loc,
             data_hi=jnp.asarray(data),   # input-precision L0 (outer op)
-            l0_relax=l0_relax,
+            l0_relax=l0_relax, block=block_size,
         )
 
     @staticmethod
     def from_global(A, S, **kw):
-        """Test convenience: split a host matrix into S row slabs."""
+        """Test convenience: split a host matrix into S row slabs
+        (aligned to block_size boundaries when given)."""
         A = sp.csr_matrix(A)
         n = A.shape[0]
+        b = kw.get("block_size", 1)
         size = -(-n // S)
+        if b > 1:
+            size = -(-size // b) * b
         parts = [A[i:min(i + size, n)] for i in range(0, n, size)]
         while len(parts) < S:
             parts.append(sp.csr_matrix((0, n)))
@@ -685,7 +818,7 @@ class ShardedGeneralAMG:
     @staticmethod
     def _build(data, cols, offs, cnt, n_true, mesh, axis, relaxation,
                prm, eps_strong, relax_factor, seed, dtype, min_loc,
-               data_hi=None, l0_relax=None):
+               data_hi=None, l0_relax=None, block=1):
         S = mesh.shape[axis]
         stats = {"retries": 0, "levels": []}
         sm = partial(jax.shard_map, mesh=mesh, check_vma=False)
@@ -722,27 +855,105 @@ class ShardedGeneralAMG:
             K = data.shape[1]
             omega = relax_factor * 2.0 / 3.0
 
-            pmis = jax.jit(sm(
-                partial(_pmis_shard, nlocp=nlocp, S=S, axis=axis),
-                in_specs=(Pa, Pa, Pr, Pr, Pr, Pr),
-                out_specs=(Pa, Pa, Pa, Pa),
-            ))
-            ids_c, counts_c, strong, halo = pmis(
-                data, cols, offs, cnt,
-                jnp.asarray(eps * eps, data.dtype),
-                jnp.asarray(seed, jnp.int32),
-            )
-            counts_np = np.asarray(counts_c).reshape(-1)
-            nc_true = int(counts_np.sum())
-            H = int(np.asarray(halo).max())
-            if nc_true == 0:
-                raise RuntimeError("sharded PMIS formed no aggregates")
-            if nc_true >= n_true:
-                break
-            ncp = max(int(counts_np.max()), 1)
+            # measured column reach -> static whole-slab window width
+            # for every neighbour exchange of this level (the
+            # comm_pattern dual: traffic O(W·n/S + halo), not O(n))
+            reach = jax.jit(sm(
+                partial(_reach_shard, nlocp=nlocp, axis=axis),
+                in_specs=(Pa, Pa, Pr, Pr), out_specs=Pa,
+            ))(data, cols, offs, cnt)
+            Hrows = int(np.asarray(reach).max())
+            H = min(-(-Hrows // nlocp), S - 1) if Hrows > 0 else 0
+
+            if block > 1:
+                # block path: strength + PMIS run on the per-shard
+                # condensed block-Frobenius graph (the reference's MPI
+                # pointwise compression, mpi/coarsening/pmis.hpp:50);
+                # ids and strength expand back to the scalar planes so
+                # prolongation/RAP run unchanged.
+                from ..coarsening.device_setup import expand_block_ids
+
+                nlocb = nlocp // block
+                offs_b = offs // block
+                cnt_b = cnt // block
+                kb = _round8(max(K, 8))
+                while True:
+                    cond_ = jax.jit(sm(
+                        partial(_condense_shard, b=block, kb=kb,
+                                nlocp=nlocp, axis=axis),
+                        in_specs=(Pa, Pa, Pr),
+                        out_specs=(Pa, Pa, Pa),
+                    ))
+                    Cd, Cc, kmax_b = cond_(data, cols, cnt)
+                    km = int(np.asarray(kmax_b).max())
+                    if km <= kb:
+                        break
+                    stats["retries"] += 1
+                    kb = _round8(km)
+
+                reach_b = jax.jit(sm(
+                    partial(_reach_shard, nlocp=nlocb, axis=axis),
+                    in_specs=(Pa, Pa, Pr, Pr), out_specs=Pa,
+                ))(Cd, Cc, offs_b, cnt_b)
+                Hb_rows = int(np.asarray(reach_b).max())
+                Hb = (min(-(-Hb_rows // nlocb), S - 1)
+                      if Hb_rows > 0 else 0)
+
+                pmis = jax.jit(sm(
+                    partial(_pmis_shard, nlocp=nlocb, S=S, axis=axis,
+                            W=Hb),
+                    in_specs=(Pa, Pa, Pr, Pr, Pr, Pr),
+                    out_specs=(Pa, Pa, Pa, Pa),
+                ))
+                ids_b, counts_b, strong_b, _hb = pmis(
+                    Cd, Cc, offs_b, cnt_b,
+                    jnp.asarray(eps * eps, Cd.dtype),
+                    jnp.asarray(seed, jnp.int32),
+                )
+                counts_np = np.asarray(counts_b).reshape(-1) * block
+                nc_true = int(counts_np.sum())
+                if nc_true == 0:
+                    raise RuntimeError(
+                        "sharded PMIS formed no aggregates"
+                    )
+                if nc_true >= n_true:
+                    break
+                ncp = max(int(counts_np.max()), block)
+
+                ids_c = jax.jit(jax.vmap(
+                    partial(expand_block_ids, b=block)
+                ))(ids_b)
+                bstr = jax.jit(sm(
+                    partial(_block_strong_shard, b=block, nlocp=nlocp,
+                            axis=axis),
+                    in_specs=(Pa, Pa, Pa, Pa, Pr, Pr),
+                    out_specs=Pa,
+                ))
+                strong = bstr(data, cols, Cc, strong_b, offs, cnt)
+            else:
+                pmis = jax.jit(sm(
+                    partial(_pmis_shard, nlocp=nlocp, S=S, axis=axis,
+                            W=H),
+                    in_specs=(Pa, Pa, Pr, Pr, Pr, Pr),
+                    out_specs=(Pa, Pa, Pa, Pa),
+                ))
+                ids_c, counts_c, strong, halo = pmis(
+                    data, cols, offs, cnt,
+                    jnp.asarray(eps * eps, data.dtype),
+                    jnp.asarray(seed, jnp.int32),
+                )
+                counts_np = np.asarray(counts_c).reshape(-1)
+                nc_true = int(counts_np.sum())
+                if nc_true == 0:
+                    raise RuntimeError(
+                        "sharded PMIS formed no aggregates"
+                    )
+                if nc_true >= n_true:
+                    break
+                ncp = max(int(counts_np.max()), 1)
 
             prol = jax.jit(sm(
-                partial(_prolong_shard, nlocp=nlocp, axis=axis),
+                partial(_prolong_shard, nlocp=nlocp, axis=axis, W=H),
                 in_specs=(Pa, Pa, Pa, Pa, Pr, Pr, Pr),
                 out_specs=(Pa, Pa),
             ))
@@ -750,9 +961,6 @@ class ShardedGeneralAMG:
                 data, cols, ids_c, strong, offs, cnt,
                 jnp.asarray(omega, data.dtype),
             )
-
-            # whole-slab hop count covering the measured column reach
-            H = min(-(-H // nlocp), S - 1) if H > 0 else 0
             kap = _round8(K + 8)
             while True:
                 ap = jax.jit(sm(
@@ -865,7 +1073,7 @@ class ShardedGeneralAMG:
         tail, _ = build_ell_hierarchy(
             A_comp, params=tail_prm, relaxation=relaxation,
             eps_strong=eps, relax_factor=relax_factor, seed=seed,
-            dtype=dtype,
+            dtype=dtype, block=block,
         )
 
         tail_idx = np.concatenate([

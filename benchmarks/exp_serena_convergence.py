@@ -56,6 +56,7 @@ def main():
     rbm = rigid_body_modes(3, coords)
 
     def SA(**kw):
+        kw.setdefault("block_size", 3)
         return SmoothedAggregation(**kw)
 
     configs = [
@@ -101,10 +102,10 @@ def main():
             coarsening=SA(nullspace=rbm, eps_strong=0.16))),
         ("cg_rbm_emin", dict(
             solver="cg", tol=1e-8, maxiter=1000,
-            coarsening=SmoothedAggrEMin(nullspace=rbm))),
+            coarsening=SmoothedAggrEMin(nullspace=rbm, block_size=3))),
         ("cg_emin_plain", dict(
             solver="cg", tol=1e-8, maxiter=1000,
-            coarsening=SmoothedAggrEMin())),
+            coarsening=SmoothedAggrEMin(block_size=3))),
     ]
     for label, kw in configs:
         if only and only not in label:

@@ -78,21 +78,31 @@ def main():
     configs = (
         ("cg_mixed_rbm_1e-8", dict(
             solver="cg", tol=1e-8, maxiter=500,
-            coarsening=SmoothedAggregation(nullspace=rbm, eps_strong=0.04),
+            coarsening=SmoothedAggregation(nullspace=rbm, eps_strong=0.04, block_size=3),
         )),
         # mixed precision via defect correction (kept for comparison)
         ("refine_block_1e-8", dict(
             solver="refine", tol=1e-8, maxiter=25, inner="cg",
             inner_tol=1e-4, inner_maxiter=200,
-            coarsening=SmoothedAggregation(nullspace=rbm, eps_strong=0.04),
+            coarsening=SmoothedAggregation(nullspace=rbm, eps_strong=0.04, block_size=3),
         )),
     )
+    import traceback
+
     for label, kw in configs:
         t0 = time.time()
-        S = make_block_solver(A, block=3, **kw)
+        try:
+            S = make_block_solver(A, block=3, **kw)
+        except Exception:
+            traceback.print_exc()
+            continue
         setup_s = time.time() - t0
 
-        x, info = S(rhs)                    # warm-up & compile
+        try:
+            x, info = S(rhs)                # warm-up & compile
+        except Exception:
+            traceback.print_exc()
+            continue
         iters = int(info.iters)
         times = []
         for _ in range(3):

@@ -67,6 +67,12 @@ def main():
                                   inner_maxiter=60,
                                   relaxation=rlx.ILU0(),
                                   coarsening=sa_sr())),
+        # straight mixed-precision CG (the reference's own architecture:
+        # f64 Krylov — A·p on the double-f32 compensated SELL — over the
+        # f32 hierarchy): no defect-correction restarts
+        ("cg_mixed_ilu0_1e-8", dict(solver="cg", tol=1e-8, maxiter=60,
+                                    relaxation=rlx.ILU0(),
+                                    coarsening=sa_sr())),
         # the previous default (SPAI0 smoother) for continuity
         ("refine_1e-8", dict(solver="refine", tol=1e-8, maxiter=25,
                              inner="cg", inner_tol=1e-4,

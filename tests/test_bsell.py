@@ -135,9 +135,12 @@ def test_vmem_R_shrink_on_dense_class(elas):
     keeps the grid exact and the result unchanged."""
     from amgcl_tpu.ops.pallas_sell2 import _fit_R
 
-    # exact failing shape: b=3, K8=312 -> Rc must drop below 4
+    # exact failing shape: b=3, K8=312, x2 resident ≈ 4.1 MiB at 343k
+    # block columns -> Rc must drop below 4 once the residents are
+    # subtracted from the streaming budget (the call site passes them)
     stream = (4 * 9 + 4) * 312 * 128
-    Rc = _fit_R(4, 8, stream)
+    resident = 3 * 2688 * 128 * 4 + 300 * 1024
+    Rc = _fit_R(4, 8, stream, resident_bytes=resident)
     assert Rc in (1, 2) and 8 % Rc == 0
     assert _fit_R(4, 8, 1024) == 4          # small classes keep R
 

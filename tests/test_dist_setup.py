@@ -232,3 +232,119 @@ def test_ilu0_local_block_relaxation(problem):
     )
     xb, iters_b, _ = base.make_solver(tol=1e-8, maxiter=200)(b)
     assert int(iters) <= int(iters_b)
+
+
+# ----------------------------------------------------------------------
+# block systems: sharded condensed-graph PMIS (the reference's MPI
+# pointwise compression, mpi/coarsening/pmis.hpp:50,103+)
+# ----------------------------------------------------------------------
+
+BLK = 2
+
+
+@pytest.fixture(scope="module")
+def block_problem():
+    """Generic-valued 2x2-block SPD system: Poisson(jitter) x SPD block
+    coupling (values generic so strength comparisons can't tie)."""
+    Ap = _poisson2d_rcm(24, 30, jitter=0.3)
+    M = np.array([[2.1, 0.37], [0.37, 1.55]])
+    A = sp.kron(Ap, M, format="csr")
+    A.sort_indices()
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(A.shape[0])
+    return A, b
+
+
+@pytest.fixture(scope="module")
+def block_sharded(block_problem):
+    A, _ = block_problem
+    return ShardedGeneralAMG.from_global(
+        A, S, params=PRM, min_loc=16, dtype=jnp.float64,
+        block_size=BLK,
+    )
+
+
+@pytest.fixture(scope="module")
+def block_serial(block_problem):
+    A, _ = block_problem
+    from amgcl_tpu.precond.ell_setup import DeviceGeneralAMG as DG
+    return DG(A, params=PRM, dtype=jnp.float64, block=BLK)
+
+
+def test_block_aggregate_counts_match_serial(block_sharded, block_serial):
+    ser_sizes = [lvl.A.shape[0] for lvl in block_serial.levels]
+    sh_sizes = [st["n"] for st in block_sharded.setup_stats["levels"]]
+    sh_sizes += [lvl.A.shape[0] for lvl in block_sharded.tail]
+    assert ser_sizes == sh_sizes
+    # every level stays block-aligned
+    assert all(s % BLK == 0 for s in sh_sizes)
+
+
+def test_block_coarse_operator_matches_serial(block_sharded,
+                                              block_serial):
+    lvl = block_sharded.dist_levels[1]
+    data = np.asarray(lvl.A_arrs[0])[:, :, 0, 0, :]
+    colsp = np.asarray(lvl.A_arrs[1])
+    S_, K, nlocp = data.shape
+    nc1 = block_sharded.setup_stats["levels"][0]["nc"]
+
+    live = (data != 0).any(axis=1)
+    cnts = live.sum(axis=1)
+    pad2comp = -np.ones(S_ * nlocp, np.int64)
+    pos = 0
+    for s in range(S_):
+        pad2comp[s * nlocp: s * nlocp + cnts[s]] = np.arange(
+            pos, pos + cnts[s]
+        )
+        pos += cnts[s]
+    assert pos == nc1
+
+    rows_pad = np.broadcast_to(
+        np.arange(S_ * nlocp)[None, :], (K, S_ * nlocp)
+    )
+    dd = data.transpose(1, 0, 2).reshape(K, -1)
+    cc = colsp.transpose(1, 0, 2).reshape(K, -1)
+    m = dd != 0
+    A1_sh = sp.coo_matrix(
+        (dd[m], (pad2comp[rows_pad[m]], pad2comp[cc[m]])),
+        shape=(nc1, nc1),
+    ).tocsr()
+
+    serial_A1 = block_serial.levels[1].A
+    d1 = np.asarray(serial_A1.data[:, 0, 0, :])
+    c1 = np.asarray(serial_A1.cols)
+    rr1 = np.broadcast_to(np.arange(nc1)[None, :], d1.shape)
+    m1 = d1 != 0
+    A1_se = sp.coo_matrix(
+        (d1[m1], (rr1[m1], c1[m1])), shape=(nc1, nc1)
+    ).tocsr()
+    diff = (A1_sh - A1_se).tocoo()
+    rel = abs(diff.data).max() / abs(A1_se.data).max() if diff.nnz else 0
+    assert rel < 1e-10
+
+
+def test_block_solve_matches_serial_iterations(block_problem,
+                                               block_sharded,
+                                               block_serial):
+    A, b = block_problem
+    run = block_sharded.make_solver(tol=1e-8, maxiter=200)
+    x, iters, rel = run(b)
+    r = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert r < 1e-7
+
+    from amgcl_tpu.solver.cg import cg
+    x_s, info = cg(
+        block_serial.levels[0].A, block_serial.apply, jnp.asarray(b),
+        tol=1e-8, maxiter=200,
+    )
+    assert iters == int(info.iters)
+
+
+def test_block_misaligned_partition_rejected(block_problem):
+    A, _ = block_problem
+    n = A.shape[0]
+    parts = [A[: n // 2 + 1], A[n // 2 + 1:]]   # off-boundary split
+    with pytest.raises(ValueError, match="block_size"):
+        ShardedGeneralAMG.from_parts(
+            parts, params=PRM, dtype=jnp.float64, block_size=BLK
+        )

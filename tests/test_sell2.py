@@ -216,3 +216,24 @@ def test_tiny_matrix():
     x = np.array([1.0, 2.0, 3.0], dtype=np.float32)
     y = S._spmv_xla(jnp.asarray(x))
     assert np.allclose(np.asarray(y), A @ x)
+
+
+def test_pack_rejects_pathologically_dense_rows():
+    """Rows wider than k8_cap (e.g. the coarse operator of a 6-column-
+    nullspace hierarchy, K≈1300) must fall back: the fully-unrolled
+    kernel would exceed the scoped-VMEM stack and compile for an hour
+    (observed: 91 MB Mosaic program at K=1288 / 4863 windows)."""
+    import scipy.sparse as sp
+
+    from amgcl_tpu.ops.pallas_sell2 import pack_sell2
+
+    n = 600
+    dense = sp.random(n, n, density=0.95, random_state=1, format="csr")
+    dense = dense + sp.eye(n)                            # K > 512
+    assert pack_sell2(dense, k8_cap=512) is None         # wide rows
+    # l_cap: moderate width but scattered columns -> many windows/class
+    scat = sp.random(1024, 40_000, density=40 / 40_000,
+                     random_state=2, format="csr")
+    p = pack_sell2(scat, nw_cap=64, l_cap=64)
+    if p is not None:                   # if windows happen to fit
+        assert all(sum(c["nw"]) <= 64 for c in p["classes"])
